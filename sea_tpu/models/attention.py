@@ -1,0 +1,570 @@
+"""SEA attention core (flax): estimator -> top-k mask -> sparse attention.
+
+TPU-native re-architecture of reference
+`src/models/perlin_attention/attention.py:133-1359` (`PerlinAttention`).
+The 9-stage forward (SURVEY §3.2) is kept stage-for-stage so that the
+reference's consistency/causality tests have direct analogues, but the
+implementation is functional: no global config registry, no in-place buffer
+mutation, fp32 islands expressed as explicit casts, and the benchmark path
+built on the uniform flat-CSR ops (static shapes) instead of ragged CSR.
+
+Stages (profiler region names follow the reference):
+  1 "vmask"       identity-value construction, v_for_atten = [id ‖ v]
+  2 "performer"   FAVOR+ linear attention over (q,k,v_for_atten), fp32
+  3 "performer_value" concat [performer_ctx ‖ v]
+  4 "predictor"   enc MLP -> dec_row + ChannelSplit -> causal CNN -> score
+  5 loss path     resize estimator to T, KL*0.1 + MSE vs teacher scores
+  6 "mask"        grouped top-k over (N,T_DST,H*T_M) with per-row budget
+  7 "interp"      train: dense resize; benchmark: uniform flat-CSR expand
+  8 "attention"   train: dense masked softmax @ v; benchmark: CSR pipeline
+  9 output        mix with running-average context, per-query gates
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import SeaConfig
+from ..ops.masks import (
+    fp_min_for,
+    per_item_top_k,
+    resize_from_m_to_t,
+    topk_mask,
+)
+from ..ops import flat_csr
+from ..ops.performer import (
+    fast_attention,
+    gaussian_orthogonal_random_matrix,
+)
+from ..utils.profiler import get_bench
+from .modules import CausalConv2d, ChannelSplit, KeepRes, interpolate, upsample_nearest
+
+
+class SeaAttentionOutput(NamedTuple):
+    """Mirror of reference PerlinAttentionOutput (attention.py:84-106)."""
+
+    loss: Optional[jnp.ndarray]
+    context_layer: jnp.ndarray
+    partial_attention_probs: Any
+    partial_attention_mask: Any
+    estimated_attention_probs_m: jnp.ndarray
+    estimated_attention_probs: Optional[jnp.ndarray]
+    dense_attention_probs: Optional[jnp.ndarray]
+    key_for_score: jnp.ndarray
+    state: Any
+
+
+def softmax_fp32(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """softmax in fp32 cast back — the reference's softmax_bf16
+    (attention.py:62-72)."""
+    y = jax.nn.softmax(x.astype(jnp.float32), axis=axis)
+    return y.astype(x.dtype)
+
+
+def _kl_div_attention(log_input, target, attention_mask):
+    """Padding-masked attention KL (reference common/kl_div_for_atten.py:3-25)."""
+    loss_pointwise = target * (jnp.log(target + 1e-12) - log_input)
+    one_mask = (attention_mask > -1).astype(jnp.float32)  # (N,1,1,T)
+    mask = one_mask * jnp.swapaxes(one_mask, -1, -2)
+    loss = (loss_pointwise * mask).sum() / (one_mask[:, :, 0, :].sum() + 1e-8)
+    return loss
+
+
+def _kl_div_batchmean(log_input, target):
+    """F.kl_div(reduction='batchmean') over rows flattened to (-1, T)."""
+    rows = log_input.shape[0] * log_input.shape[1] * log_input.shape[2]
+    return (target * (jnp.log(target + 1e-12) - log_input)).sum() / rows
+
+
+class SeaAttention(nn.Module):
+    """The SEA attention module. One instance per transformer layer."""
+
+    cfg: SeaConfig
+
+    def setup(self):
+        cfg = self.cfg
+        D = cfg.head_dim
+        H = cfg.num_heads
+        T_M = cfg.predictor_length
+
+        # FAVOR+ random projection — non-trainable, redrawn by the trainer
+        # every N steps (reference ProjectionUpdater, common/performer.py:5-37)
+        self.performer_proj = self.variable(
+            "performer",
+            "projection",
+            lambda: gaussian_orthogonal_random_matrix(
+                jax.random.key(0), cfg.nb_features, D
+            ),
+        )
+
+        # predictor encoder: Linear(3D -> 2D) + LN + GELU (attention.py:190-196)
+        self.enc_dense = nn.Dense(D * 2, name="enc_dense")
+        self.enc_ln = nn.LayerNorm(name="enc_ln")
+
+        # decoder row projector (attention.py:200-245)
+        splits = cfg.splits
+        down = cfg.dec_row_down_scale
+        self.dec_row_out_ch = (T_M // down) * splits
+        self.dec_row = nn.Dense(self.dec_row_out_ch, name="dec_row")
+        self.channel_split = ChannelSplit(splits)
+
+        # CNN refiner
+        if cfg.causal:
+            # (attention.py:249-281): LN -> 2x dilated causal conv -> up(1,4)
+            # -> 1x1 causal conv -> resize T_M -> LN
+            ch = splits * H
+            self.cnn_ln1 = nn.LayerNorm(name="cnn_ln1")
+            self.cnn_conv1 = CausalConv2d(ch, ch, 3, padding=2, dilation=2, causal=True, name="cnn_conv1")
+            self.cnn_conv2 = CausalConv2d(ch, ch, 3, padding=2, dilation=2, causal=True, name="cnn_conv2")
+            self.cnn_conv4 = CausalConv2d(ch, H, 1, padding=1, causal=True, name="cnn_conv4")
+            self.cnn_ln2 = nn.LayerNorm(name="cnn_ln2")
+        else:
+            # (attention.py:207-218): strided conv stack inside KeepRes
+            ch_in = splits * H
+            self.cnn_conv1 = CausalConv2d(ch_in, 4 * H, 3, padding=1, stride=(2, 1), name="cnn_conv1")
+            self.cnn_conv2 = CausalConv2d(4 * H, 4 * H, 3, padding=1, name="cnn_conv2")
+            self.cnn_conv3 = CausalConv2d(4 * H, H, 3, padding=1, name="cnn_conv3")
+
+        # per-query two-channel gate head (attention.py:289-291)
+        self.dec_scaler = nn.Dense(2, name="dec_scaler")
+
+        # codebook ('comp') predictor variant (attention.py:294-311)
+        if cfg.predictor_method == "comp":
+            self.comp_codebook = self.param(
+                "comp_codebook",
+                nn.initializers.normal(1.0),
+                (cfg.comp_book_size, cfg.comp_patch_size),
+            )
+            self.comp_enc_dense = nn.Dense(D * 2, name="comp_enc_dense")
+            self.comp_enc_ln = nn.LayerNorm(name="comp_enc_ln")
+            self.comp_dec_row = nn.Dense(
+                cfg.comp_book_size * cfg.comp_patch_count, name="comp_dec_row"
+            )
+
+        # learned identity-value embeddings (attention.py:320-331)
+        if cfg.causal:
+            self.v_eye_learned_causal = self.param(
+                "v_eye_learned_causal",
+                nn.initializers.normal(1.0),
+                (1, 1, cfg.max_position_embeddings, D),
+            )
+
+    # ------------------------------------------------------------------
+    def _identity_values(self, v_for_atten, zero_one_mask, t_src):
+        """Stage 1 "vmask": the identity-value channel.
+
+        Causal: slice of the learned positional table (attention.py:503-508).
+        Non-causal: bilinear-interpolated identity rows at each token's
+        relative position — the grid-sample of an eye matrix
+        (attention.py:460-495) computed directly as a tent function."""
+        cfg = self.cfg
+        N, H, T, D = v_for_atten.shape
+        if cfg.causal:
+            v_id = self.v_eye_learned_causal[:, :, :t_src, :]
+            v_id = jnp.broadcast_to(v_id.astype(v_for_atten.dtype), (N, H, t_src, D))
+            return v_id
+        # relative position in [0, 1] per src token
+        cs = jnp.cumsum(zero_one_mask, axis=-1)  # (N,1,1,T)
+        L = zero_one_mask.sum(-1, keepdims=True)
+        pos01 = (cs - 1.0) / (L - 1.0 + 1e-8)
+        r = pos01.reshape(N, 1, T, 1) * (D - 1)  # continuous eye row
+        j = jnp.arange(D, dtype=jnp.float32).reshape(1, 1, 1, D)
+        tent = jnp.maximum(0.0, 1.0 - jnp.abs(r - j))
+        return jnp.broadcast_to(tent, (N, H, T, D)).astype(v_for_atten.dtype)
+
+    def _predictor_cnn(self, x):
+        """Stage 4 CNN. x: (N, C, T, T_M/down) -> (N, H, T, T_M)."""
+        cfg = self.cfg
+        T_M = cfg.predictor_length
+        if cfg.causal:
+            y = self.cnn_ln1(x)
+            h_in = y.shape[-2]
+            y = nn.relu(self.cnn_conv1(y))
+            y = nn.relu(self.cnn_conv2(y))
+            y = upsample_nearest(y, (1, 4))
+            y = self.cnn_conv4(y)
+            y = interpolate(y, (h_in, T_M))
+            y = self.cnn_ln2(y)
+            return y
+        h_in = x.shape[-2]
+        y = nn.relu(self.cnn_conv1(x))
+        y = nn.relu(self.cnn_conv2(y))
+        y = upsample_nearest(y, (2, 1))
+        y = self.cnn_conv3(y)
+        y = interpolate(y, (h_in, T_M))
+        return y
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        q_for_atten: jnp.ndarray,
+        k_for_atten: jnp.ndarray,
+        v_for_atten: jnp.ndarray,
+        q_for_score: jnp.ndarray,
+        k_for_score: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        attention_scores_truth: Optional[jnp.ndarray] = None,
+        context_layer_truth: Optional[jnp.ndarray] = None,
+        *,
+        benchmarking: bool = False,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+        last_state: Any = None,
+    ) -> SeaAttentionOutput:
+        cfg = self.cfg
+        bench = get_bench()
+        N, H, T, D = q.shape
+        T_M = cfg.predictor_length
+        FP_MIN = fp_min_for(q.dtype)
+
+        # --- mask plumbing (attention.py:393-447) -------------------------
+        if cfg.causal:
+            assert attention_mask.shape[-2] == attention_mask.shape[-1] or last_state is not None
+            causal_attention_mask = attention_mask
+            T_DST, T_SRC = causal_attention_mask.shape[-2:]
+            attention_mask = jnp.swapaxes(causal_attention_mask[:, :, :, :1], -1, -2)
+            dst_attention_mask = causal_attention_mask[:, :, :, :1]
+        else:
+            causal_attention_mask = None
+            T_SRC = attention_mask.shape[-1]
+            T_DST = T_SRC
+            dst_attention_mask = jnp.swapaxes(attention_mask, -1, -2)
+
+        zero_one_attention_mask = (attention_mask > -1).astype(jnp.float32)
+        dst_alive = dst_attention_mask > -1  # (N,1,T_DST,1)
+
+        bench.register_temp_buffer("q", q)
+        bench.register_temp_buffer("k", k)
+        bench.register_temp_buffer("v", v)
+
+        # --- 1 "vmask" ----------------------------------------------------
+        with bench.region("vmask"):
+            v_id = self._identity_values(v_for_atten, zero_one_attention_mask, T_SRC)
+            v_for_atten = jnp.concatenate([v_id, v_for_atten], axis=-1)
+            # zero padded rows (attention.py:510-514)
+            v_for_atten = jnp.where(dst_alive, v_for_atten, 0)
+            v = jnp.where(dst_alive, v, 0)
+            bench.register_temp_buffer("v_for_atten", v_for_atten)
+
+        # --- 2 "performer" (fp32 island, attention.py:518-573) ------------
+        with bench.region("performer"):
+            proj = self.performer_proj.value
+            performer_context_layer = fast_attention(
+                q_for_atten.astype(jnp.float32),
+                k_for_atten.astype(jnp.float32),
+                v_for_atten.astype(jnp.float32),
+                proj,
+                causal=cfg.causal,
+                generalized=cfg.causal,
+            ).astype(q_for_atten.dtype)
+            bench.register_temp_buffer(
+                "performer_context_layer", performer_context_layer
+            )
+
+        # --- 3 "performer_value" (attention.py:577-590) --------------------
+        with bench.region("performer_value"):
+            performer_value = jnp.concatenate([performer_context_layer, v], axis=-1)
+            bench.register_temp_buffer("performer_value", performer_value)
+
+        # --- 4 "predictor" (attention.py:595-664) --------------------------
+        with bench.region("predictor"):
+            if cfg.predictor_method == "mlp":
+                s = cfg.query_skips
+                t_enc_x = performer_value
+                if s > 1:
+                    assert T_DST % s == 0
+                    t_enc_x = t_enc_x[:, :, ::s, :]
+                t_attention_predictor = nn.gelu(
+                    self.enc_ln(self.enc_dense(t_enc_x)), approximate=False
+                )
+                estimated_attention_score = self.dec_row(t_attention_predictor)
+                # (N,H,T',out_ch) as NCHW -> ChannelSplit -> CNN
+                estimated_attention_score = self.channel_split(
+                    estimated_attention_score
+                )
+                estimated_attention_score = self._predictor_cnn(
+                    estimated_attention_score
+                )
+                if s > 1:
+                    def rep(x):
+                        n, h, t, d = x.shape
+                        x = jnp.broadcast_to(x[:, :, :, None, :], (n, h, t, s, d))
+                        return x.reshape(n, h, t * s, d)
+                    estimated_attention_score = rep(estimated_attention_score)
+                    t_attention_predictor = rep(t_attention_predictor)
+            elif cfg.predictor_method == "comp":
+                t_attention_predictor = nn.gelu(
+                    self.comp_enc_ln(self.comp_enc_dense(performer_value)),
+                    approximate=False,
+                )
+                code = self.comp_dec_row(t_attention_predictor)
+                code = code.reshape(
+                    N, H, T_DST, cfg.comp_patch_count, cfg.comp_book_size
+                )
+                code = softmax_fp32(code, -1)
+                estimated_attention_score = jnp.einsum(
+                    "nhtpb,bs->nhtps", code, self.comp_codebook
+                ).reshape(N, H, T_DST, -1)
+            else:
+                raise ValueError(cfg.predictor_method)
+            bench.register_temp_buffer("t_attention_predictor", t_attention_predictor)
+
+        # --- 5 "mask_softmax" + loss path (attention.py:670-763) -----------
+        with bench.region("mask_softmax"):
+            estimated_attention_probs = softmax_fp32(estimated_attention_score, -1)
+        bench.register_temp_buffer(
+            "estimated_attention_score", estimated_attention_score
+        )
+        bench.register_temp_buffer("estimated_attention_probs", estimated_attention_probs)
+
+        def resize(x, fill, handle_oversample=True, target_width=None):
+            mask = causal_attention_mask if cfg.causal else attention_mask
+            return resize_from_m_to_t(
+                x,
+                fill,
+                attention_mask=mask,
+                target_width=target_width if target_width is not None else T_SRC,
+                is_causal=cfg.causal,
+                k=cfg.effective_k,
+                oversampled=cfg.k_oversample if handle_oversample else None,
+                rng=rng if (training and cfg.causal) else None,
+            )
+
+        loss = jnp.float32(0.0)
+        estimated_attention_probs_resized = None
+        if (not benchmarking) and attention_scores_truth is not None:
+            estimated_attention_probs_resized = resize(
+                estimated_attention_probs, 0.0, handle_oversample=False
+            )
+            estimated_attention_score_resized = resize(
+                estimated_attention_score, FP_MIN, handle_oversample=False
+            ).astype(jnp.float32)
+            truth = attention_scores_truth.astype(jnp.float32)
+            if cfg.causal:
+                dead = causal_attention_mask < -1
+                est = jnp.where(dead, FP_MIN, estimated_attention_score_resized)
+                tru = jnp.where(dead, FP_MIN, truth)
+                log_input = jax.nn.log_softmax(est, axis=-1)
+                target = jax.nn.softmax(tru, axis=-1)
+                loss = loss + _kl_div_batchmean(log_input, target) * 0.1
+                loss = loss + jnp.mean(
+                    (jax.nn.softmax(est, axis=-1) - target) ** 2
+                )
+            else:
+                dead = attention_mask < -1
+                est = jnp.where(dead, FP_MIN, estimated_attention_score_resized)
+                tru = jnp.where(dead, FP_MIN, truth)
+                loss = loss + _kl_div_attention(
+                    jax.nn.log_softmax(est, -1),
+                    jax.nn.softmax(tru, -1),
+                    attention_mask,
+                ) * 0.1
+                loss = loss + jnp.mean(
+                    (jax.nn.softmax(est, -1) - jax.nn.softmax(tru, -1)) ** 2
+                )
+            bench.register_temp_buffer(
+                "estimated_attention_probs_resized", estimated_attention_probs_resized
+            )
+
+        # --- 6 "mask": grouped top-k (attention.py:822-947) -----------------
+        with bench.region("mask"):
+            masked_estimated_attention_probs = (
+                estimated_attention_probs * dst_alive.astype(estimated_attention_probs.dtype)
+            )
+            bench.register_temp_buffer(
+                "masked_estimated_attention_probs", masked_estimated_attention_probs
+            )
+            token_length = zero_one_attention_mask.sum(-1).reshape(N, -1)  # (N,1)
+            if cfg.causal:
+                causal_token_length = jnp.arange(
+                    1, T_DST + 1, dtype=jnp.float32
+                ).reshape(1, T_DST, 1)
+                causal_token_length = jnp.broadcast_to(
+                    causal_token_length, (N, T_DST, 1)
+                )
+            else:
+                causal_token_length = None
+            budget = per_item_top_k(
+                cfg_k=cfg.effective_k,
+                k_oversample=cfg.k_oversample,
+                k_flatten_dim=cfg.k_flatten_dim,
+                num_heads=H,
+                t_m=T_M,
+                token_length=token_length,
+                causal_token_length=causal_token_length,
+                causal=cfg.causal,
+            )
+            bench.register_temp_buffer("per_item_top_k", budget)
+            partial_attention_mask_m = topk_mask(
+                masked_estimated_attention_probs,
+                dst_alive,
+                budget,
+                cfg.k_flatten_dim,
+                benchmarking,
+                FP_MIN,
+            )
+        bench.register_temp_buffer(
+            "partial_attention_mask_before_interp", partial_attention_mask_m
+        )
+
+        # --- 7 "interp" (attention.py:956-1046) -----------------------------
+        with bench.region("interp"):
+            if not benchmarking:
+                partial_attention_mask = resize(
+                    partial_attention_mask_m, FP_MIN, handle_oversample=True
+                )
+                if cfg.causal:
+                    partial_attention_mask = jnp.where(
+                        causal_attention_mask < -1, FP_MIN, partial_attention_mask
+                    )
+            else:
+                partial_attention_mask = flat_csr.resize_from_m_to_t_csr(
+                    partial_attention_mask_m,
+                    cfg.effective_k,
+                    T_SRC,
+                    is_causal=cfg.causal,
+                    max_nnz=cfg.max_nnz_for(T_SRC),
+                )
+
+        # --- 8 "attention" (attention.py:1060-1204) -------------------------
+        with bench.region("attention"):
+            estimated_scales = self.dec_scaler(t_attention_predictor)  # (N,H,T,2)
+            attention_probs_dense = None
+            if not benchmarking:
+                attention_scores_dense = jnp.einsum(
+                    "nhtd,nhsd->nhts", q_for_score, k_for_score
+                )
+                if attention_scores_truth is not None:
+                    truth = attention_scores_truth.astype(jnp.float32)
+                    if not cfg.causal:
+                        attention_scores_dense = attention_scores_dense / math.sqrt(D)
+                        dead = attention_mask < -1
+                        s_in = jnp.where(dead, FP_MIN, attention_scores_dense).astype(jnp.float32)
+                        s_tr = jnp.where(dead, FP_MIN, truth)
+                        loss = loss + _kl_div_attention(
+                            jax.nn.log_softmax(s_in, -1),
+                            jax.nn.softmax(s_tr, -1),
+                            attention_mask,
+                        ) * 0.1
+                        loss = loss + jnp.mean(
+                            (jax.nn.softmax(s_in, -1) - jax.nn.softmax(s_tr, -1)) ** 2
+                        )
+                    else:
+                        dead = causal_attention_mask < -1
+                        s_in = jnp.where(dead, FP_MIN, attention_scores_dense).astype(jnp.float32)
+                        s_tr = jnp.where(dead, FP_MIN, truth)
+                        log_input = jax.nn.log_softmax(s_in, -1)
+                        target = jax.nn.softmax(s_tr, -1)
+                        loss = loss + _kl_div_batchmean(log_input, target) * 0.1
+                        loss = loss + jnp.mean(
+                            (jax.nn.softmax(s_in, -1) - target) ** 2
+                        )
+                bench.register_temp_buffer("attention_scores_dense", attention_scores_dense)
+
+                amask = causal_attention_mask if cfg.causal else attention_mask
+                attention_probs_dense = softmax_fp32(attention_scores_dense + amask, -1)
+
+                partial_attention_scores = (
+                    attention_scores_dense + partial_attention_mask
+                )
+                partial_attention_probs = softmax_fp32(partial_attention_scores, -1)
+                partial_attention_probs = jnp.where(
+                    partial_attention_mask < -1, 0, partial_attention_probs
+                )
+                bench.register_temp_buffer(
+                    "partial_attention_scores", partial_attention_scores
+                )
+                bench.register_temp_buffer("attention_matrix", partial_attention_probs)
+                if cfg.partial_attention_scaler:
+                    partial_attention_probs = partial_attention_probs * jax.nn.sigmoid(
+                        estimated_scales[..., 0:1]
+                    )
+                partial_context_layer = jnp.einsum(
+                    "nhts,nhsd->nhtd", partial_attention_probs, v
+                )
+            else:
+                csr = flat_csr.flat_csr_masked_bmm(
+                    q_for_score, k_for_score, partial_attention_mask
+                )
+                if not cfg.causal:
+                    # BERT benchmark path scales scores by 1/sqrt(d)
+                    # (attention.py:1187-1189)
+                    csr = csr.replace(values=csr.values / math.sqrt(D))
+                csr = flat_csr.flat_csr_softmax(csr)
+                if cfg.partial_attention_scaler:
+                    row_scaler = jax.nn.sigmoid(estimated_scales[..., 0])  # (N,H,T)
+                    csr = flat_csr.flat_csr_elmul(csr, row_scaler)
+                partial_attention_probs = csr
+                partial_context_layer = flat_csr.flat_csr_sdbmm(csr, v)
+
+            # "attention.avg_pool" (attention.py:1208-1250)
+            with bench.region("attention.avg_pool"):
+                if not cfg.causal:
+                    mean_probs = estimated_attention_probs.mean(-2, keepdims=True)
+                    w = resize(mean_probs, 0.0, handle_oversample=False)
+                    w = jnp.swapaxes(w, -1, -2)  # (N,H,T,1)
+                    average_context_layer = (
+                        v * dst_alive.astype(v.dtype) * w.astype(v.dtype)
+                    ).sum(-2, keepdims=True)
+                else:
+                    avg_v = v * dst_alive.astype(v.dtype)
+                    denom = jnp.arange(1, T_SRC + 1, dtype=jnp.float32).reshape(
+                        1, 1, -1, 1
+                    )
+                    average_context_layer = (
+                        jnp.cumsum(avg_v.astype(jnp.float32), axis=-2) / denom
+                    ).astype(v.dtype)
+                    if average_context_layer.shape[-2] > T_DST:
+                        average_context_layer = average_context_layer[..., -T_DST:, :]
+                average_scale = jax.nn.sigmoid(estimated_scales[..., 1:2])
+                partial_context_layer = (
+                    partial_context_layer * average_scale
+                    + (1 - average_scale) * average_context_layer
+                )
+                bench.register_temp_buffer("estimated_scales", estimated_scales)
+                bench.register_temp_buffer("average_scale", average_scale)
+                bench.register_temp_buffer(
+                    "average_context_layer", average_context_layer
+                )
+                bench.register_temp_buffer(
+                    "partial_context_layer_2", partial_context_layer
+                )
+
+        # --- 9 output (attention.py:1279-1359) ------------------------------
+        partial_context_layer = jnp.transpose(partial_context_layer, (0, 2, 1, 3))
+        partial_context_layer = partial_context_layer.reshape(N, T_DST, H * D)
+
+        if (not benchmarking) and context_layer_truth is not None:
+            loss = loss + jnp.mean(
+                (
+                    context_layer_truth.astype(jnp.float32)
+                    - partial_context_layer.astype(jnp.float32)
+                )
+                ** 2
+            )
+        bench.register_temp_buffer("partial_context_layer", partial_context_layer)
+
+        estimated_attention_probs_out = (
+            estimated_attention_probs
+            if benchmarking
+            else estimated_attention_probs_resized
+        )
+        return SeaAttentionOutput(
+            loss=loss,
+            context_layer=partial_context_layer,
+            partial_attention_probs=partial_attention_probs,
+            partial_attention_mask=partial_attention_mask,
+            estimated_attention_probs_m=estimated_attention_probs,
+            estimated_attention_probs=estimated_attention_probs_out,
+            dense_attention_probs=attention_probs_dense,
+            key_for_score=k_for_score,
+            state=last_state,
+        )

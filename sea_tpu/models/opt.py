@@ -1,0 +1,374 @@
+"""OPT decoder with switchable attention (dense teacher / SEA student).
+
+TPU-native equivalent of the reference model-integration layer:
+  * `src/models/hf_opt.py:124-343` — the frozen dense teacher that captures
+    per-layer attention scores (q·k^T + causal mask, pre-softmax) and the
+    pre-out_proj context layer for distillation;
+  * `src/models/perlin_opt/perlin_opt.py:137-638` — the student whose
+    self-attention dispatches on `attention_method`
+    ('none' | 'perlin' | 'performer').
+
+Architectural differences from the reference (deliberate, TPU-first):
+  * teacher-score transfer is by value inside one jit — the reference's
+    lazy-checkout closures + CPU offload (`hf_opt.py:154-196`) exist to fit
+    O(T^2) teacher buffers in GPU VRAM; under XLA the interleaved
+    teacher/student layer schedule (see training/distill.py) keeps at most
+    one layer's scores live;
+  * no module-global DEFAULT_METHOD — the method is a config field.
+
+Model dims follow facebook/opt-125m (worked from the HF config, not copied).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import SeaConfig
+from ..ops.masks import fp_min_for
+from ..ops.performer import fast_attention, gaussian_orthogonal_random_matrix
+from .attention import SeaAttention, SeaAttentionOutput, softmax_fp32
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    ffn_dim: int = 3072
+    max_position_embeddings: int = 2048
+    pad_token_id: int = 1
+    bos_token_id: int = 2
+    do_layer_norm_before: bool = True
+    dropout: float = 0.1
+    attention_method: str = "perlin"  # 'none' | 'perlin' | 'performer'
+    sea: SeaConfig = dataclasses.field(default_factory=SeaConfig)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def opt_125m(attention_method: str = "perlin", sea: Optional[SeaConfig] = None) -> OptConfig:
+    from ..config import opt_config as sea_opt_config
+
+    return OptConfig(
+        attention_method=attention_method,
+        sea=sea if sea is not None else sea_opt_config(),
+    )
+
+
+def opt_350m(attention_method: str = "perlin", sea: Optional[SeaConfig] = None) -> OptConfig:
+    from ..config import opt_config as sea_opt_config
+
+    return OptConfig(
+        hidden_size=1024,
+        num_layers=24,
+        num_heads=16,
+        ffn_dim=4096,
+        attention_method=attention_method,
+        sea=sea
+        if sea is not None
+        else sea_opt_config(num_heads=16, head_dim=64),
+    )
+
+
+class LayerTeacherOutput(NamedTuple):
+    """Per-layer distillation targets captured by the dense teacher."""
+
+    attention_scores: jnp.ndarray  # (N, H, T, T) pre-softmax, causal-masked
+    context_layer: jnp.ndarray  # (N, T, H*D) pre-out_proj
+
+
+def build_causal_mask(
+    attention_mask_1d: jnp.ndarray, t: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(N, T) {0,1} padding mask -> (N, 1, T, T) additive causal mask with
+    FP_MIN at masked positions (0 elsewhere)."""
+    fpmin = fp_min_for(dtype)
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+    pad = attention_mask_1d[:, None, None, :] > 0  # (N,1,1,T)
+    alive = causal[None, None] & pad
+    return jnp.where(alive, 0.0, fpmin).astype(dtype)
+
+
+class OptAttention(nn.Module):
+    """Self-attention dispatcher (reference perlin_opt.py:137-638)."""
+
+    cfg: OptConfig
+
+    def setup(self):
+        c = self.cfg
+        self.q_proj = nn.Dense(c.hidden_size, name="q_proj")
+        self.k_proj = nn.Dense(c.hidden_size, name="k_proj")
+        self.v_proj = nn.Dense(c.hidden_size, name="v_proj")
+        self.out_proj = nn.Dense(c.hidden_size, name="out_proj")
+        if c.attention_method == "perlin":
+            self.perlin = SeaAttention(c.sea, name="perlin")
+        elif c.attention_method == "performer":
+            self.performer_proj = self.variable(
+                "performer",
+                "projection",
+                lambda: gaussian_orthogonal_random_matrix(
+                    jax.random.key(1), c.sea.nb_features, c.head_dim
+                ),
+            )
+
+    def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        N, T, E = x.shape
+        c = self.cfg
+        return jnp.transpose(
+            x.reshape(N, T, c.num_heads, c.head_dim), (0, 2, 1, 3)
+        )
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        causal_mask: jnp.ndarray,
+        teacher: Optional[LayerTeacherOutput] = None,
+        *,
+        benchmarking: bool = False,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Returns (attn_output (N,T,E), aux_loss | None, teacher_capture | None)."""
+        c = self.cfg
+        N, T, E = hidden_states.shape
+        scaling = c.head_dim ** -0.5
+
+        q = self._heads(self.q_proj(hidden_states) * scaling)
+        k = self._heads(self.k_proj(hidden_states))
+        v = self._heads(self.v_proj(hidden_states))
+
+        if c.attention_method == "none":
+            scores = jnp.einsum("nhtd,nhsd->nhts", q, k) + causal_mask
+            scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
+            probs = softmax_fp32(scores, -1)
+            ctx = jnp.einsum("nhts,nhsd->nhtd", probs, v)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
+            capture = LayerTeacherOutput(attention_scores=scores, context_layer=ctx)
+            return self.out_proj(ctx), None, capture
+
+        if c.attention_method == "performer":
+            out = fast_attention(
+                q.astype(jnp.float32),
+                k.astype(jnp.float32),
+                v.astype(jnp.float32),
+                self.performer_proj.value,
+                causal=True,
+                generalized=True,
+            ).astype(hidden_states.dtype)
+            ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
+            return self.out_proj(ctx), None, None
+
+        assert c.attention_method == "perlin", c.attention_method
+        out: SeaAttentionOutput = self.perlin(
+            q,
+            k,
+            v,
+            q,
+            k,
+            v,
+            q,
+            k,
+            causal_mask,
+            attention_scores_truth=teacher.attention_scores if teacher else None,
+            context_layer_truth=teacher.context_layer if teacher else None,
+            benchmarking=benchmarking,
+            training=training,
+            rng=rng,
+        )
+        return self.out_proj(out.context_layer), out.loss, None
+
+
+class OptDecoderLayer(nn.Module):
+    """Pre-LN decoder layer (reference perlin_opt.py:638-820)."""
+
+    cfg: OptConfig
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = OptAttention(c, name="self_attn")
+        self.self_attn_layer_norm = nn.LayerNorm(name="self_attn_layer_norm")
+        self.fc1 = nn.Dense(c.ffn_dim, name="fc1")
+        self.fc2 = nn.Dense(c.hidden_size, name="fc2")
+        self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        causal_mask: jnp.ndarray,
+        teacher: Optional[LayerTeacherOutput] = None,
+        *,
+        benchmarking: bool = False,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        c = self.cfg
+        residual = hidden_states
+        h = hidden_states
+        if c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+        h, aux_loss, capture = self.self_attn(
+            h,
+            causal_mask,
+            teacher,
+            benchmarking=benchmarking,
+            training=training,
+            rng=rng,
+        )
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+
+        residual = h
+        if c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        h = nn.relu(self.fc1(h))
+        h = self.fc2(h)
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        return h, aux_loss, capture
+
+
+class OptModel(nn.Module):
+    """OPT decoder stack. Exposes `embed` / `layer` / `finalize` so the KD
+    driver can interleave teacher and student layer-by-layer."""
+
+    cfg: OptConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, name="embed_tokens")
+        # OPT learned positions carry a +2 offset (HF OPTLearnedPositionalEmbedding)
+        self.embed_positions = nn.Embed(
+            c.max_position_embeddings + 2, c.hidden_size, name="embed_positions"
+        )
+        self.layers = [
+            OptDecoderLayer(c, name=f"layers_{i}") for i in range(c.num_layers)
+        ]
+        if c.do_layer_norm_before:
+            self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
+
+    def embed(self, input_ids: jnp.ndarray, attention_mask_1d: jnp.ndarray):
+        c = self.cfg
+        N, T = input_ids.shape
+        h = self.embed_tokens(input_ids)
+        positions = jnp.cumsum(attention_mask_1d, axis=1) * attention_mask_1d - 1
+        pos_emb = self.embed_positions((positions + 2).astype(jnp.int32))
+        h = h + pos_emb
+        causal_mask = build_causal_mask(attention_mask_1d, T, h.dtype)
+        return h, causal_mask
+
+    def finalize(self, h: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        return h
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask_1d: jnp.ndarray,
+        teacher_outputs: Optional[List[LayerTeacherOutput]] = None,
+        *,
+        benchmarking: bool = False,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+        output_hidden_states: bool = False,
+    ):
+        h, causal_mask = self.embed(input_ids, attention_mask_1d)
+        hidden_states = [h] if output_hidden_states else None
+        captures = []
+        aux_losses = []
+        for i, layer in enumerate(self.layers):
+            teacher = teacher_outputs[i] if teacher_outputs is not None else None
+            if rng is not None:
+                rng, layer_rng = jax.random.split(rng)
+            else:
+                layer_rng = None
+            h, aux, capture = layer(
+                h,
+                causal_mask,
+                teacher,
+                benchmarking=benchmarking,
+                training=training,
+                rng=layer_rng,
+            )
+            if output_hidden_states:
+                hidden_states.append(h)
+            if aux is not None:
+                aux_losses.append(aux)
+            if capture is not None:
+                captures.append(capture)
+        h = self.finalize(h)
+        aux_loss = (
+            sum(aux_losses) / len(aux_losses) if aux_losses else jnp.float32(0.0)
+        )
+        return h, hidden_states, captures, aux_loss
+
+
+class OptForCausalLM(nn.Module):
+    """LM head tied to the input embedding (OPT convention)."""
+
+    cfg: OptConfig
+
+    def setup(self):
+        self.model = OptModel(self.cfg, name="model")
+
+    def logits(self, h: jnp.ndarray) -> jnp.ndarray:
+        embedding = self.model.embed_tokens.embedding
+        return h @ embedding.T
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask_1d: jnp.ndarray,
+        labels: Optional[jnp.ndarray] = None,
+        teacher_outputs: Optional[List[LayerTeacherOutput]] = None,
+        *,
+        benchmarking: bool = False,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+        output_hidden_states: bool = False,
+    ):
+        h, hidden_states, captures, aux_loss = self.model(
+            input_ids,
+            attention_mask_1d,
+            teacher_outputs,
+            benchmarking=benchmarking,
+            training=training,
+            rng=rng,
+            output_hidden_states=output_hidden_states,
+        )
+        logits = self.logits(h)
+        loss = None
+        if labels is not None:
+            loss = cross_entropy_shifted(logits, labels)
+        return {
+            "logits": logits,
+            "loss": loss,
+            "hidden_states": hidden_states,
+            "teacher_captures": captures,
+            "aux_loss": aux_loss,
+        }
+
+
+def cross_entropy_shifted(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100
+) -> jnp.ndarray:
+    """Next-token cross entropy with -100 masking (torch CE semantics)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

@@ -1,0 +1,157 @@
+"""Knowledge-distillation loss assembly and the interleaved teacher/student
+forward (TPU-native replacement for reference `opt_trainer.KDWrapperModel`,
+`src/trainer/opt_trainer.py:91-199`).
+
+Loss = 0.1 * student task CE
+     + 5 * mean-over-layers hidden-state MSE (fp32)
+     + 0.2 * logit KL (batchmean over N*T rows)
+     + mean-over-layers attention-distill loss (calc_loss_special analogue,
+       reference perlin_opt.py:1372-1398)
+
+The reference runs the full teacher under no_grad first, offloading O(T^2)
+per-layer scores to CPU (or re-running layers lazily via thunks,
+`hf_opt.py:154-196`); on TPU we instead run teacher and student *interleaved
+per layer inside one jit* so at most one layer's (N,H,T,T) score tensor is
+live at a time, and wrap each layer pair in `jax.checkpoint` so the backward
+rematerializes instead of saving dense probability tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.opt import (
+    LayerTeacherOutput,
+    OptConfig,
+    OptForCausalLM,
+    cross_entropy_shifted,
+)
+
+
+class SeaOptKD:
+    """Functional KD wrapper around a teacher and a student OptForCausalLM.
+
+    Teacher params are frozen by construction: gradients are taken w.r.t.
+    `student_variables` only, and every teacher intermediate passes through
+    `stop_gradient`."""
+
+    def __init__(self, teacher_cfg: OptConfig, student_cfg: OptConfig):
+        assert teacher_cfg.attention_method == "none"
+        self.teacher = OptForCausalLM(teacher_cfg)
+        self.student = OptForCausalLM(student_cfg)
+        self.n_layers = teacher_cfg.num_layers
+        assert teacher_cfg.num_layers == student_cfg.num_layers
+
+    # -- pure per-piece applies ----------------------------------------
+    def _embed(self, mdl, variables, input_ids, mask1d):
+        return mdl.apply(
+            variables,
+            input_ids,
+            mask1d,
+            method=lambda m, i, a: m.model.embed(i, a),
+        )
+
+    def _finalize_logits(self, mdl, variables, h):
+        return mdl.apply(
+            variables, h, method=lambda m, x: m.logits(m.model.finalize(x))
+        )
+
+    def _teacher_layer(self, variables, i, h, causal_mask):
+        return self.teacher.apply(
+            variables,
+            h,
+            causal_mask,
+            method=lambda m, hh, cm: m.model.layers[i](hh, cm, None),
+        )
+
+    def _student_layer(self, variables, i, h, causal_mask, capture, rng):
+        return self.student.apply(
+            variables,
+            h,
+            causal_mask,
+            method=lambda m, hh, cm: m.model.layers[i](
+                hh, cm, capture, training=True, rng=rng
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def kd_loss(
+        self,
+        teacher_variables,
+        student_variables,
+        input_ids: jnp.ndarray,
+        attention_mask_1d: jnp.ndarray,
+        labels: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        use_remat: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Full interleaved KD forward; returns (loss, detail dict)."""
+        h_t, causal_mask = self._embed(
+            self.teacher, teacher_variables, input_ids, attention_mask_1d
+        )
+        h_s, _ = self._embed(
+            self.student, student_variables, input_ids, attention_mask_1d
+        )
+        h_t = jax.lax.stop_gradient(h_t)
+
+        loss_hidden = jnp.mean(
+            (h_t.astype(jnp.float32) - h_s.astype(jnp.float32)) ** 2
+        )
+        loss_special = jnp.float32(0.0)
+
+        for i in range(self.n_layers):
+            if rng is not None:
+                rng, layer_rng = jax.random.split(rng)
+            else:
+                layer_rng = None
+
+            def pair(h_t_in, h_s_in, cm, lrng, _i=i):
+                h_t_out, _, capture = self._teacher_layer(
+                    teacher_variables, _i, h_t_in, cm
+                )
+                h_t_out = jax.lax.stop_gradient(h_t_out)
+                capture = jax.tree_util.tree_map(jax.lax.stop_gradient, capture)
+                h_s_out, aux, _ = self._student_layer(
+                    student_variables, _i, h_s_in, cm, capture, lrng
+                )
+                return h_t_out, h_s_out, aux
+
+            if use_remat:
+                pair = jax.checkpoint(pair)
+            h_t, h_s, aux = pair(h_t, h_s, causal_mask, layer_rng)
+            loss_hidden += jnp.mean(
+                (h_t.astype(jnp.float32) - h_s.astype(jnp.float32)) ** 2
+            )
+            loss_special += aux
+
+        loss_hidden = loss_hidden / (self.n_layers + 1) * 5.0
+        loss_special = loss_special / self.n_layers
+
+        logits_t = jax.lax.stop_gradient(
+            self._finalize_logits(self.teacher, teacher_variables, h_t)
+        )
+        logits_s = self._finalize_logits(self.student, student_variables, h_s)
+
+        task_loss = cross_entropy_shifted(logits_s, labels)
+
+        lt = logits_t.reshape(-1, logits_t.shape[-1]).astype(jnp.float32)
+        ls = logits_s.reshape(-1, logits_s.shape[-1]).astype(jnp.float32)
+        target = jax.nn.softmax(lt, -1)
+        log_input = jax.nn.log_softmax(ls, -1)
+        loss_logit_kl = (
+            (target * (jnp.log(target + 1e-12) - log_input)).sum() / lt.shape[0] * 0.2
+        )
+
+        loss = 0.1 * task_loss + loss_hidden + loss_logit_kl + loss_special
+        return loss, {
+            "loss": loss,
+            "loss_model": 0.1 * task_loss,
+            "loss_kd_hidden": loss_hidden,
+            "loss_kd_logit": loss_logit_kl,
+            "loss_sp": loss_special,
+            "student_task_loss": task_loss,
+        }
