@@ -162,6 +162,9 @@ def causal_linear_attention(
             + jnp.einsum("...tm,...m->...t", q_i, z)
             + eps * jnp.sum(q_i, axis=-1)
         )
+        # chunk-padding rows have den == 0; 0/0 would NaN-poison gradients
+        # (the primal slices them away but the cotangent of num/den does not)
+        den = jnp.where(den <= 0, 1.0, den)
         out = num / den[..., None]
         S = S + jnp.einsum("...sm,...sd->...md", k_i, v_i)
         z = z + jnp.sum(k_i, axis=-2)

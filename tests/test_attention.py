@@ -55,21 +55,34 @@ def init_and_run(cfg, benchmarking, inputs, params=None, **kw):
     q, k, v, mask, truth, ctx_truth = inputs
     model = SeaAttention(cfg)
     if params is None:
-        params = model.init(
-            jax.random.key(0),
-            q, k, v, q, k, v, q, k, mask,
-            attention_scores_truth=truth,
-            context_layer_truth=ctx_truth,
-            benchmarking=False,
+        params = jax.jit(
+            lambda: model.init(
+                jax.random.key(0),
+                q, k, v, q, k, v, q, k, mask,
+                attention_scores_truth=truth,
+                context_layer_truth=ctx_truth,
+                benchmarking=False,
+            )
+        )()
+
+    if benchmarking:
+        fn = jax.jit(
+            lambda p, q, k, v, mask: model.apply(
+                p, q, k, v, q, k, v, q, k, mask, benchmarking=True, **kw
+            )
         )
-    out = model.apply(
-        params,
-        q, k, v, q, k, v, q, k, mask,
-        attention_scores_truth=None if benchmarking else truth,
-        context_layer_truth=None if benchmarking else ctx_truth,
-        benchmarking=benchmarking,
-        **kw,
-    )
+        out = fn(params, q, k, v, mask)
+    else:
+        fn = jax.jit(
+            lambda p, q, k, v, mask, truth, ctx: model.apply(
+                p, q, k, v, q, k, v, q, k, mask,
+                attention_scores_truth=truth,
+                context_layer_truth=ctx,
+                benchmarking=False,
+                **kw,
+            )
+        )
+        out = fn(params, q, k, v, mask, truth, ctx_truth)
     return params, out
 
 
@@ -152,10 +165,12 @@ def test_grad_flows():
     inputs = make_inputs(cfg, N=1, T=16)
     q, k, v, mask, truth, ctx_truth = inputs
     model = SeaAttention(cfg)
-    params = model.init(
-        jax.random.key(0), q, k, v, q, k, v, q, k, mask,
-        attention_scores_truth=truth, context_layer_truth=ctx_truth,
-    )
+    params = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), q, k, v, q, k, v, q, k, mask,
+            attention_scores_truth=truth, context_layer_truth=ctx_truth,
+        )
+    )()
 
     def loss_fn(p):
         out = model.apply(
@@ -165,7 +180,7 @@ def test_grad_flows():
         )
         return out.loss
 
-    g = jax.grad(lambda p: loss_fn(p))(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     leaves = jax.tree_util.tree_leaves(g["params"])
     assert leaves
     total = sum(float(jnp.abs(l).sum()) for l in leaves)
