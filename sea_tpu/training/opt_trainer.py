@@ -1,0 +1,264 @@
+"""OPT wikitext2 KD trainer (TPU-native analogue of reference
+`src/trainer/opt_trainer.py` + the `perlin_trainer.py` CLI).
+
+Single jitted train step (teacher+student interleaved KD, grads, AdamW
+4-group update), gradient accumulation via optax.MultiSteps, strided-window
+perplexity evaluation (reference `opt_trainer.py:528-586`), orbax
+checkpointing, JSON-lines metric logging (wandb analogue, §5.5).
+
+Run:  python -m sea_tpu.training.opt_trainer --model tiny --steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SeaConfig, opt_config
+from ..data.wikitext2 import get_corpus
+from ..models.opt import OptConfig, opt_125m, opt_350m
+from ..models.loader import load_opt_params, student_from_teacher
+from .distill import SeaOptKD
+from .optimizer import make_optimizer
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    model: str = "opt-125m"  # 'tiny' | 'opt-125m' | 'opt-350m'
+    teacher_checkpoint: Optional[str] = None  # local dir with HF weights
+    k: int = 64
+    predictor_length: int = 256
+    nb_factor: int = 8
+    lr: float = 1e-5
+    wd: float = 1e-2
+    lr_high_scale: float = 10.0
+    lr_low_scale: float = 0.2
+    max_seq_len: int = 512
+    stride: int = 256
+    batch_size: int = 1
+    gradient_accumulation_steps: int = 8
+    num_steps: int = 10_000
+    eval_steps: int = 2_000
+    log_steps: int = 20
+    seed: int = 42
+    save_dir: str = "./saves/opt_trainer"
+    use_remat: bool = True
+
+
+def tiny_configs() -> Tuple[OptConfig, OptConfig]:
+    sea = SeaConfig(
+        num_heads=2, head_dim=8, predictor_length=8, k=2,
+        performer_nb_factor=1, causal=True, max_position_embeddings=128,
+    ).validate()
+    kw = dict(
+        vocab_size=256, hidden_size=16, num_layers=2, num_heads=2,
+        ffn_dim=32, max_position_embeddings=128, sea=sea,
+    )
+    return (
+        OptConfig(attention_method="none", **kw),
+        OptConfig(attention_method="perlin", **kw),
+    )
+
+
+def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
+    if cfg.model == "tiny":
+        return tiny_configs()
+    sea = opt_config(
+        k=cfg.k,
+        predictor_length=cfg.predictor_length,
+        performer_nb_factor=cfg.nb_factor,
+    )
+    builder = {"opt-125m": opt_125m, "opt-350m": opt_350m}[cfg.model]
+    return builder("none", sea), builder("perlin", sea)
+
+
+class OptTrainer:
+    def __init__(self, cfg: TrainerConfig):
+        self.cfg = cfg
+        self.t_cfg, self.s_cfg = model_configs(cfg)
+        self.kd = SeaOptKD(self.t_cfg, self.s_cfg)
+        self.rng = jax.random.key(cfg.seed)
+
+        N, T = cfg.batch_size, cfg.max_seq_len
+        ids = jnp.ones((N, T), jnp.int32)
+        mask = jnp.ones((N, T), jnp.int32)
+        self.t_vars = self.kd.teacher.init(jax.random.key(0), ids, mask)
+        s_vars = self.kd.student.init(jax.random.key(1), ids, mask)
+
+        if cfg.teacher_checkpoint:
+            teacher_params = load_opt_params(cfg.teacher_checkpoint, self.t_cfg)
+            self.t_vars = {**self.t_vars, "params": teacher_params["params"]
+                           if "params" in teacher_params else teacher_params}
+        # student bootstrap: teacher weights for shared modules
+        s_vars = student_from_teacher(s_vars, self.t_vars["params"])
+        self.s_params = s_vars["params"]
+        self.s_extra = {k: v for k, v in s_vars.items() if k != "params"}
+
+        base_tx = make_optimizer(
+            lr=cfg.lr, wd=cfg.wd,
+            lr_high_scale=cfg.lr_high_scale, lr_low_scale=cfg.lr_low_scale,
+        )
+        self.tx = optax.MultiSteps(base_tx, cfg.gradient_accumulation_steps)
+        self.opt_state = self.tx.init(self.s_params)
+        self.step = 0
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+        self.corpus = get_corpus(
+            cfg.max_seq_len, cfg.stride, "train",
+            vocab_size=self.s_cfg.vocab_size,
+        )
+        self.eval_corpus = get_corpus(
+            cfg.max_seq_len, cfg.stride, "test",
+            vocab_size=self.s_cfg.vocab_size,
+        )
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        self.metrics_path = os.path.join(cfg.save_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, s_params, opt_state, t_vars, ids, mask, labels, rng):
+        def loss_fn(p):
+            sv = dict(self.s_extra)
+            sv["params"] = p
+            return self.kd.kd_loss(
+                t_vars, sv, ids, mask, labels, rng=rng,
+                use_remat=self.cfg.use_remat,
+            )
+
+        (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(s_params)
+        updates, opt_state = self.tx.update(grads, opt_state, s_params)
+        s_params = optax.apply_updates(s_params, updates)
+        return s_params, opt_state, loss, details
+
+    def _eval_step_impl(self, s_params, ids, mask, labels):
+        sv = dict(self.s_extra)
+        sv["params"] = s_params
+        out = self.kd.student.apply(sv, ids, mask)
+        logits = out["logits"][:, :-1].astype(jnp.float32)
+        tgt = labels[:, 1:]
+        valid = tgt != -100
+        safe = jnp.where(valid, tgt, 0)
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+        return jnp.where(valid, nll, 0.0).sum(), valid.sum()
+
+    # ------------------------------------------------------------------
+    def evaluate(self, max_batches: Optional[int] = None) -> float:
+        total_nll, total_tok = 0.0, 0
+        for i, (ids, mask, labels) in enumerate(
+            self.eval_corpus.batches(self.cfg.batch_size)
+        ):
+            if max_batches is not None and i >= max_batches:
+                break
+            nll, tok = self._eval_step(
+                self.s_params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels)
+            )
+            total_nll += float(nll)
+            total_tok += int(tok)
+        return float(np.exp(total_nll / max(total_tok, 1)))
+
+    def log(self, record: Dict[str, Any]):
+        record = {k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
+                  for k, v in record.items()}
+        record["step"] = self.step
+        record["time"] = time.time()
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def save(self, tag: str = "checkpoint"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.s_params, "step": self.step}, force=True)
+        ckptr.wait_until_finished()
+
+    def load(self, tag: str = "checkpoint") -> bool:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
+        if not os.path.exists(path):
+            return False
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, {"params": self.s_params, "step": 0})
+        self.s_params = restored["params"]
+        self.step = int(restored["step"])
+        return True
+
+    def train(self):
+        cfg = self.cfg
+        micro_steps = cfg.num_steps * cfg.gradient_accumulation_steps
+        done = 0
+        t0 = time.time()
+        while done < micro_steps:
+            for ids, mask, labels in self.corpus.batches(
+                cfg.batch_size, shuffle=True, seed=cfg.seed + done
+            ):
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.s_params, self.opt_state, loss, details = self._train_step(
+                    self.s_params, self.opt_state, self.t_vars,
+                    jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels),
+                    step_rng,
+                )
+                done += 1
+                if done % cfg.gradient_accumulation_steps == 0:
+                    self.step += 1
+                    if self.step % cfg.log_steps == 0:
+                        rec = {k: float(v) for k, v in details.items()}
+                        rec["steps_per_s"] = self.step / (time.time() - t0)
+                        self.log(rec)
+                    if self.step % cfg.eval_steps == 0:
+                        ppl = self.evaluate(max_batches=16)
+                        self.log({"eval_ppl": ppl})
+                        self.save()
+                    if self.step >= cfg.num_steps:
+                        return
+                if done >= micro_steps:
+                    return
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="tiny")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--k", type=int, default=64)
+    p.add_argument("--predictor-length", type=int, default=256)
+    p.add_argument("--teacher-checkpoint", default=None)
+    p.add_argument("--eval", action="store_true")
+    args = p.parse_args()
+
+    cfg = TrainerConfig(
+        model=args.model,
+        num_steps=args.steps,
+        batch_size=args.batch_size,
+        max_seq_len=args.seq_len,
+        stride=args.seq_len // 2,
+        k=args.k,
+        predictor_length=args.predictor_length,
+        teacher_checkpoint=args.teacher_checkpoint,
+        eval_steps=max(args.steps // 2, 1),
+        log_steps=1,
+        gradient_accumulation_steps=2,
+    )
+    tr = OptTrainer(cfg)
+    if args.eval:
+        print("ppl:", tr.evaluate(max_batches=8))
+        return
+    tr.train()
+    ppl = tr.evaluate(max_batches=8)
+    print("final ppl:", ppl)
+
+
+if __name__ == "__main__":
+    main()

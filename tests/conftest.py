@@ -8,7 +8,11 @@ multi-chip path via `__graft_entry__.dryrun_multichip`).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment exports JAX_PLATFORMS=axon (remote TPU through a relay,
+# with remote compilation) — tests must run on the local CPU with 8 virtual
+# devices, so override it *before and after* jax import (the axon
+# sitecustomize registers its backend at interpreter start).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Compilation on this host is slow; persist compiled executables across runs.
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
