@@ -41,8 +41,16 @@ from ..ops.performer import (
     fast_attention,
     gaussian_orthogonal_random_matrix,
 )
+from ..ops.performer import relu_kernel_features
 from ..utils.profiler import get_bench
 from .modules import CausalConv2d, ChannelSplit, KeepRes, interpolate, upsample_nearest
+from .state import (
+    SeaDecodeState,
+    cnn_window_push,
+    cumavg_step,
+    init_decode_state,
+    performer_decode_step,
+)
 
 
 class SeaAttentionOutput(NamedTuple):
@@ -568,3 +576,136 @@ class SeaAttention(nn.Module):
             key_for_score=k_for_score,
             state=last_state,
         )
+
+    # ------------------------------------------------------------------
+    def init_state(self, batch: int, max_len: int, dtype=jnp.float32) -> SeaDecodeState:
+        cfg = self.cfg
+        return init_decode_state(
+            batch,
+            cfg.num_heads,
+            cfg.head_dim,
+            cfg.nb_features,
+            cfg.predictor_length,
+            cfg.splits,
+            cfg.dec_row_down_scale,
+            max_len,
+            dtype,
+        )
+
+    def decode(
+        self,
+        q: jnp.ndarray,  # (N, H, 1, D) — pre-scaled like the prefill q
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        state: SeaDecodeState,
+    ):
+        """One autoregressive step (reference §3.4 decode path with
+        `PerlinAttentionState`), causal + mlp predictor only. Produces the
+        same result as the full dense forward's last row: the FAVOR+ state
+        is the exact prefix sum, and the 24-row CNN window covers the
+        dilated stack's receptive field."""
+        cfg = self.cfg
+        assert cfg.causal and cfg.predictor_method == "mlp"
+        N, H, _, D = q.shape
+        T_M = cfg.predictor_length
+        max_len = state.k_cache.shape[2]
+        FP_MIN = fp_min_for(q.dtype)
+        pos = state.length  # index of this token
+        new_len = pos + 1
+
+        k_cache = jax.lax.dynamic_update_slice(state.k_cache, k, (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(state.v_cache, v, (0, 0, pos, 0))
+
+        # stage 1: identity value row
+        v_id = jax.lax.dynamic_slice(
+            self.v_eye_learned_causal, (0, 0, pos, 0), (1, 1, 1, D)
+        ).astype(v.dtype)
+        v_for_atten = jnp.concatenate(
+            [jnp.broadcast_to(v_id, (N, H, 1, D)), v], axis=-1
+        )
+
+        # stage 2: FAVOR+ prefix step (generalized/relu features, fp32)
+        proj = self.performer_proj.value
+        qp = relu_kernel_features(q, proj)
+        kp = relu_kernel_features(k, proj)
+        perf_ctx, S, z = performer_decode_step(
+            state.performer_S, state.performer_z, qp, kp, v_for_atten
+        )
+        perf_ctx = perf_ctx.astype(q.dtype)
+
+        # stage 3/4: predictor on the CNN window
+        performer_value = jnp.concatenate([perf_ctx, v], axis=-1)
+        t_pred = nn.gelu(self.enc_ln(self.enc_dense(performer_value)), approximate=False)
+        row = self.channel_split(self.dec_row(t_pred))  # (N, C, 1, Wd)
+        window, filled = cnn_window_push(state.cnn_window, state.cnn_filled, row)
+        est_win = self._predictor_cnn(window)  # (N, H, W, T_M)
+        estimated_attention_score = est_win[:, :, -1:, :]
+        estimated_attention_probs = softmax_fp32(estimated_attention_score, -1)
+
+        # stage 6: top-k row (budget = round(H*k*os*T_M / new_len), >= 1)
+        t = jnp.transpose(estimated_attention_probs, (0, 2, 1, 3)).reshape(
+            N, 1, H * T_M
+        )
+        budget = jnp.maximum(
+            jnp.floor(
+                H * (cfg.effective_k * cfg.k_oversample * T_M)
+                / new_len.astype(jnp.float32)
+                + 0.5
+            ),
+            1.0,
+        )
+        order = jnp.argsort(-t, axis=-1, stable=True)
+        ranks = jnp.zeros_like(order)
+        ranks = jnp.put_along_axis(
+            ranks,
+            order,
+            jnp.broadcast_to(jnp.arange(H * T_M, dtype=order.dtype), t.shape),
+            axis=-1,
+            inplace=False,
+        )
+        dead_m = (ranks >= budget).reshape(N, 1, H, T_M).transpose(0, 2, 1, 3)
+        mask_m = jnp.where(dead_m, FP_MIN, 0.0).astype(q.dtype)
+
+        # stage 7: resize the single row to the cache width
+        s_idx = jnp.arange(max_len, dtype=jnp.float32)
+        pix = jnp.floor(
+            (s_idx + 0.5) / new_len.astype(jnp.float32) * T_M - 1e-4
+        ).astype(jnp.int32)
+        pix = jnp.clip(pix, 0, T_M - 1)
+        row_mask = jnp.take_along_axis(
+            mask_m[:, :, 0, :],
+            jnp.broadcast_to(pix[None, None, :], (N, H, max_len)),
+            axis=-1,
+        )[:, :, None, :]
+        alive_src = (s_idx < new_len.astype(jnp.float32))[None, None, None, :]
+        row_mask = jnp.where(alive_src, row_mask, FP_MIN)
+
+        # stage 8: dense row attention against the cache
+        scores = jnp.einsum("nhtd,nhsd->nhts", q, k_cache) + row_mask
+        probs = softmax_fp32(scores, -1)
+        probs = jnp.where(row_mask < -1, 0.0, probs)
+        estimated_scales = self.dec_scaler(t_pred)
+        if cfg.partial_attention_scaler:
+            probs = probs * jax.nn.sigmoid(estimated_scales[..., 0:1])
+        ctx = jnp.einsum("nhts,nhsd->nhtd", probs, v_cache)
+
+        # stage 8b: running average mix
+        avg, cum_sum, cum_len = cumavg_step(
+            state.cumavg_sum, state.cumavg_len, v
+        )
+        avg_scale = jax.nn.sigmoid(estimated_scales[..., 1:2])
+        ctx = ctx * avg_scale + (1 - avg_scale) * avg
+
+        out = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, 1, H * D)
+        new_state = SeaDecodeState(
+            performer_S=S,
+            performer_z=z,
+            cnn_window=window,
+            cnn_filled=filled,
+            cumavg_sum=cum_sum,
+            cumavg_len=cum_len,
+            k_cache=k_cache,
+            v_cache=v_cache,
+            length=new_len,
+        )
+        return out, new_state

@@ -1,0 +1,270 @@
+"""BERT encoder with switchable attention (dense teacher / SEA student).
+
+TPU-native equivalent of:
+  * `src/models/hf_bert.py:242-384` — dense teacher capturing per-layer
+    attention scores (q.k^T / sqrt(d) + mask) and pre-output context;
+  * `src/models/perlin_bert/perlin_bert.py:277-824` — the student whose
+    self-attention dispatches on `attention_method`
+    ('none' | 'perlin' | 'performer').
+
+Used by the GLUE and LRA trainers. Post-LN architecture, GELU FFN,
+learned absolute positions, token-type embeddings, pooler + classifier.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import SeaConfig
+from ..ops.masks import fp_min_for
+from ..ops.performer import fast_attention, gaussian_orthogonal_random_matrix
+from .attention import SeaAttention, SeaAttentionOutput, softmax_fp32
+from .opt import LayerTeacherOutput
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    ffn_dim: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    num_labels: int = 2
+    layer_norm_eps: float = 1e-12
+    attention_method: str = "perlin"
+    sea: SeaConfig = dataclasses.field(default_factory=SeaConfig)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def bert_base(attention_method: str = "perlin", sea: Optional[SeaConfig] = None, **kw) -> BertConfig:
+    from ..config import bert_config as sea_bert_config
+
+    return BertConfig(
+        attention_method=attention_method,
+        sea=sea if sea is not None else sea_bert_config(),
+        **kw,
+    )
+
+
+class BertSelfAttention(nn.Module):
+    """Attention dispatcher (reference perlin_bert.py:277-824)."""
+
+    cfg: BertConfig
+
+    def setup(self):
+        c = self.cfg
+        self.query = nn.Dense(c.hidden_size, name="query")
+        self.key = nn.Dense(c.hidden_size, name="key")
+        self.value = nn.Dense(c.hidden_size, name="value")
+        if c.attention_method == "perlin":
+            self.perlin = SeaAttention(c.sea, name="perlin")
+        elif c.attention_method == "performer":
+            self.performer_proj = self.variable(
+                "performer",
+                "projection",
+                lambda: gaussian_orthogonal_random_matrix(
+                    jax.random.key(1), c.sea.nb_features, c.head_dim
+                ),
+            )
+
+    def _heads(self, x):
+        N, T, E = x.shape
+        c = self.cfg
+        return jnp.transpose(x.reshape(N, T, c.num_heads, c.head_dim), (0, 2, 1, 3))
+
+    def __call__(
+        self,
+        hidden_states,
+        attention_mask,  # (N,1,1,T) additive
+        teacher: Optional[LayerTeacherOutput] = None,
+        *,
+        benchmarking: bool = False,
+        training: bool = False,
+        rng=None,
+    ):
+        c = self.cfg
+        N, T, E = hidden_states.shape
+        q = self._heads(self.query(hidden_states))
+        k = self._heads(self.key(hidden_states))
+        v = self._heads(self.value(hidden_states))
+
+        if c.attention_method == "none":
+            scores = jnp.einsum("nhtd,nhsd->nhts", q, k) / math.sqrt(c.head_dim)
+            scores = scores + attention_mask
+            probs = softmax_fp32(scores, -1)
+            ctx = jnp.einsum("nhts,nhsd->nhtd", probs, v)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
+            return ctx, None, LayerTeacherOutput(scores, ctx)
+
+        if c.attention_method == "performer":
+            out = fast_attention(
+                q.astype(jnp.float32),
+                k.astype(jnp.float32),
+                (v * (jnp.swapaxes(attention_mask, -1, -2) > -1)).astype(jnp.float32),
+                self.performer_proj.value,
+                causal=False,
+                generalized=False,
+            ).astype(hidden_states.dtype)
+            ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
+            return ctx, None, None
+
+        assert c.attention_method == "perlin"
+        out: SeaAttentionOutput = self.perlin(
+            q, k, v, q, k, v, q, k,
+            attention_mask,
+            attention_scores_truth=teacher.attention_scores if teacher else None,
+            context_layer_truth=teacher.context_layer if teacher else None,
+            benchmarking=benchmarking,
+            training=training,
+            rng=rng,
+        )
+        return out.context_layer, out.loss, None
+
+
+class BertLayer(nn.Module):
+    """Post-LN encoder layer."""
+
+    cfg: BertConfig
+
+    def setup(self):
+        c = self.cfg
+        self.attention = BertSelfAttention(c, name="attention")
+        self.attention_output = nn.Dense(c.hidden_size, name="attention_output")
+        self.attention_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln")
+        self.intermediate = nn.Dense(c.ffn_dim, name="intermediate")
+        self.output = nn.Dense(c.hidden_size, name="output")
+        self.output_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln")
+
+    def __call__(self, h, attention_mask, teacher=None, *, benchmarking=False,
+                 training=False, rng=None):
+        ctx, aux, capture = self.attention(
+            h, attention_mask, teacher,
+            benchmarking=benchmarking, training=training, rng=rng,
+        )
+        h = self.attention_ln(h + self.attention_output(ctx))
+        ffn = self.output(nn.gelu(self.intermediate(h), approximate=False))
+        h = self.output_ln(h + ffn)
+        return h, aux, capture
+
+
+class BertModel(nn.Module):
+    cfg: BertConfig
+
+    def setup(self):
+        c = self.cfg
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")
+        self.position_embeddings = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, name="position_embeddings"
+        )
+        self.token_type_embeddings = nn.Embed(
+            c.type_vocab_size, c.hidden_size, name="token_type_embeddings"
+        )
+        self.embeddings_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")
+        self.layers = [BertLayer(c, name=f"layers_{i}") for i in range(c.num_layers)]
+        self.pooler = nn.Dense(c.hidden_size, name="pooler")
+
+    def embed(self, input_ids, attention_mask_1d, token_type_ids=None):
+        N, T = input_ids.shape
+        h = self.word_embeddings(input_ids)
+        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        h = h + self.position_embeddings(pos)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        h = h + self.token_type_embeddings(token_type_ids)
+        h = self.embeddings_ln(h)
+        fpmin = fp_min_for(h.dtype)
+        mask = jnp.where(
+            attention_mask_1d[:, None, None, :] > 0, 0.0, fpmin
+        ).astype(h.dtype)
+        return h, mask
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask_1d,
+        token_type_ids=None,
+        teacher_outputs: Optional[List[LayerTeacherOutput]] = None,
+        *,
+        benchmarking: bool = False,
+        training: bool = False,
+        rng=None,
+        output_hidden_states: bool = False,
+    ):
+        h, mask = self.embed(input_ids, attention_mask_1d, token_type_ids)
+        hidden_states = [h] if output_hidden_states else None
+        captures, aux_losses = [], []
+        for i, layer in enumerate(self.layers):
+            teacher = teacher_outputs[i] if teacher_outputs is not None else None
+            if rng is not None:
+                rng, layer_rng = jax.random.split(rng)
+            else:
+                layer_rng = None
+            h, aux, capture = layer(
+                h, mask, teacher,
+                benchmarking=benchmarking, training=training, rng=layer_rng,
+            )
+            if output_hidden_states:
+                hidden_states.append(h)
+            if aux is not None:
+                aux_losses.append(aux)
+            if capture is not None:
+                captures.append(capture)
+        pooled = jnp.tanh(self.pooler(h[:, 0]))
+        aux_loss = sum(aux_losses) / len(aux_losses) if aux_losses else jnp.float32(0.0)
+        return h, pooled, hidden_states, captures, aux_loss
+
+
+class BertForSequenceClassification(nn.Module):
+    cfg: BertConfig
+
+    def setup(self):
+        self.bert = BertModel(self.cfg, name="bert")
+        self.classifier = nn.Dense(self.cfg.num_labels, name="classifier")
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask_1d,
+        token_type_ids=None,
+        labels=None,
+        teacher_outputs=None,
+        *,
+        benchmarking=False,
+        training=False,
+        rng=None,
+        output_hidden_states=False,
+    ):
+        h, pooled, hidden_states, captures, aux_loss = self.bert(
+            input_ids, attention_mask_1d, token_type_ids, teacher_outputs,
+            benchmarking=benchmarking, training=training, rng=rng,
+            output_hidden_states=output_hidden_states,
+        )
+        logits = self.classifier(pooled)
+        loss = None
+        if labels is not None:
+            if self.cfg.num_labels == 1:
+                loss = jnp.mean((logits[..., 0] - labels) ** 2)
+            else:
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                loss = -jnp.mean(
+                    jnp.take_along_axis(logp, labels[:, None], axis=-1)
+                )
+        return {
+            "logits": logits,
+            "loss": loss,
+            "hidden_states": hidden_states,
+            "teacher_captures": captures,
+            "aux_loss": aux_loss,
+            "last_hidden_state": h,
+        }

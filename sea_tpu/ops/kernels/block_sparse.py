@@ -100,6 +100,50 @@ def pack_alive_bits(
     return packed[:, :T_DST].reshape(N, H, T_DST, t_src // 32)
 
 
+def element_mask_int8(
+    mask_m: jnp.ndarray,
+    t_src: int,
+    is_causal: bool,
+    row_chunk: int = 256,
+) -> jnp.ndarray:
+    """(N,H,T_DST,T_M) compressed mask -> (N,H,T_DST,T_SRC) int8 alive mask
+    (dense-resize semantics + causal). The unpacked twin of
+    `pack_alive_bits` — Mosaic consumes int8 tiles directly, no in-kernel
+    bit unpacking. O(T^2) bytes; fine to ~8k sequence, after which the
+    packed layout should take over."""
+    N, H, T_DST, T_M = mask_m.shape
+    m = (mask_m > 0).reshape(N * H, T_DST, T_M)
+    s_idx = jnp.arange(t_src, dtype=jnp.float32)
+    n_chunks = (T_DST + row_chunk - 1) // row_chunk
+    pad_rows = n_chunks * row_chunk - T_DST
+    m_p = jnp.pad(m, ((0, 0), (0, pad_rows), (0, 0)))
+    m_c = jnp.moveaxis(
+        m_p.reshape(N * H, n_chunks, row_chunk, T_M), 1, 0
+    )
+
+    def chunk_fn(args):
+        ci, m_blk = args
+        rows = ci * row_chunk + jnp.arange(row_chunk, dtype=jnp.int32)
+        if is_causal:
+            w = (rows + 1).astype(jnp.float32)[:, None]
+        else:
+            w = jnp.full((row_chunk, 1), float(t_src), jnp.float32)
+        pixel = jnp.floor((s_idx[None, :] + 0.5) / w * T_M - 1e-4).astype(jnp.int32)
+        pixel = jnp.clip(pixel, 0, T_M - 1)
+        alive = jnp.take_along_axis(
+            m_blk,
+            jnp.broadcast_to(pixel[None], (m_blk.shape[0],) + pixel.shape),
+            axis=-1,
+        )
+        if is_causal:
+            alive = alive & (s_idx[None, None, :] <= rows[None, :, None])
+        return alive.astype(jnp.int8)
+
+    alive = jax.lax.map(chunk_fn, (jnp.arange(n_chunks, dtype=jnp.int32), m_c))
+    alive = jnp.moveaxis(alive, 0, 1).reshape(N * H, n_chunks * row_chunk, t_src)
+    return alive[:, :T_DST].reshape(N, H, T_DST, t_src)
+
+
 def active_tile_lists(
     bits: jnp.ndarray, block_q: int, block_k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -141,7 +185,7 @@ def _kernel(
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
-    bits_ref,  # (1, BQ, BK//32)
+    alive_ref,  # (1, BQ, BK) int8 element mask tile
     scale_ref,  # (1, BQ, 128) row scaler (broadcast over lanes)
     o_ref,  # (1, BQ, D)
     m_scr,  # (BQ, 128) f32
@@ -166,12 +210,8 @@ def _kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-
-        words = bits_ref[0]  # (BQ, BK//32) uint32
-        BQ, BK = s.shape
-        shifts = jax.lax.broadcasted_iota(jnp.uint32, (BQ, BK), 1) % 32
-        expanded = jnp.repeat(words, 32, axis=1)  # (BQ, BK)
-        alive = ((expanded >> shifts) & 1) == 1
+        # int8 compare is unsupported on some TPU targets; widen first
+        alive = alive_ref[0].astype(jnp.float32) > 0.0
 
         s = jnp.where(alive, s, NEG_INF)
         m_prev = m_scr[:, 0:1]  # (BQ,1)
@@ -217,6 +257,9 @@ def sea_block_sparse_attention(
     T_SRC = k.shape[2]
     assert T_DST % block_q == 0 and T_SRC % block_k == 0
 
+    alive8 = element_mask_int8(mask_m, T_SRC, is_causal).reshape(
+        N * H, T_DST, T_SRC
+    )
     bits = pack_alive_bits(mask_m, T_SRC, is_causal)  # (N,H,T,W)
     counts, idx = active_tile_lists(bits, block_q, block_k)
 
@@ -226,7 +269,6 @@ def sea_block_sparse_attention(
     qf = q.reshape(NH, T_DST, D)
     kf = k.reshape(NH, T_SRC, D)
     vf = v.reshape(NH, T_SRC, D)
-    bitsf = bits.reshape(NH, T_DST, T_SRC // 32)
     countsf = counts.reshape(NH, NQ)
     idxf = idx.reshape(NH, NQ, NKB)
     if row_scaler is None:
@@ -252,7 +294,7 @@ def sea_block_sparse_attention(
                 (1, block_k, D), lambda h, i, j, c, x: (h, x[h, i, j], 0)
             ),
             pl.BlockSpec(
-                (1, block_q, wpb), lambda h, i, j, c, x: (h, i, x[h, i, j])
+                (1, block_q, block_k), lambda h, i, j, c, x: (h, i, x[h, i, j])
             ),
             pl.BlockSpec(
                 (1, block_q, 128), lambda h, i, j, c, x: (h, i, 0)
@@ -276,7 +318,7 @@ def sea_block_sparse_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(countsf, idxf, qf, kf, vf, bitsf, scalerf)
+    )(countsf, idxf, qf, kf, vf, alive8, scalerf)
     return out.reshape(N, H, T_DST, D)
 
 

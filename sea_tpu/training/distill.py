@@ -32,6 +32,70 @@ from ..models.opt import (
 )
 
 
+class SeaBertKD:
+    """BERT GLUE KD wrapper (reference `glue_trainer.py:215-274`):
+    loss = 0.1*task + 10*mean-layer hidden MSE + 0.1*logit KL + attention
+    distill. BERT sequences are short, so the teacher runs in full first
+    (its O(T^2) captures fit) and the student consumes the capture list."""
+
+    def __init__(self, teacher_cfg, student_cfg):
+        from ..models.bert import BertForSequenceClassification
+
+        assert teacher_cfg.attention_method == "none"
+        self.teacher = BertForSequenceClassification(teacher_cfg)
+        self.student = BertForSequenceClassification(student_cfg)
+
+    def kd_loss(
+        self,
+        teacher_variables,
+        student_variables,
+        input_ids,
+        attention_mask_1d,
+        labels,
+        token_type_ids=None,
+        rng=None,
+    ):
+        t_out = self.teacher.apply(
+            teacher_variables, input_ids, attention_mask_1d, token_type_ids,
+            labels=labels, output_hidden_states=True,
+        )
+        t_out = jax.tree_util.tree_map(jax.lax.stop_gradient, t_out)
+        s_out = self.student.apply(
+            student_variables, input_ids, attention_mask_1d, token_type_ids,
+            labels=labels,
+            teacher_outputs=t_out["teacher_captures"],
+            training=True, rng=rng, output_hidden_states=True,
+        )
+
+        loss_hidden = jnp.float32(0.0)
+        for ht, hs in zip(t_out["hidden_states"], s_out["hidden_states"]):
+            loss_hidden += jnp.mean(
+                (ht.astype(jnp.float32) - hs.astype(jnp.float32)) ** 2
+            )
+        loss_hidden = loss_hidden / len(t_out["hidden_states"]) * 10.0
+
+        lt = t_out["logits"].astype(jnp.float32)
+        ls = s_out["logits"].astype(jnp.float32)
+        target = jax.nn.softmax(lt, -1)
+        log_input = jax.nn.log_softmax(ls, -1)
+        loss_logit_kl = (
+            (target * (jnp.log(target + 1e-12) - log_input)).sum()
+            / lt.shape[0]
+        ) * 0.1
+
+        task = s_out["loss"]
+        loss = 0.1 * task + loss_hidden + loss_logit_kl + s_out["aux_loss"]
+        return loss, {
+            "loss": loss,
+            "loss_model": 0.1 * task,
+            "loss_kd_hidden": loss_hidden,
+            "loss_kd_logit": loss_logit_kl,
+            "loss_sp": s_out["aux_loss"],
+            "student_task_loss": task,
+            "logits": s_out["logits"],
+        }
+
+
 class SeaOptKD:
     """Functional KD wrapper around a teacher and a student OptForCausalLM.
 
