@@ -423,6 +423,67 @@ class SeaAttention(nn.Module):
             "partial_attention_mask_before_interp", partial_attention_mask_m
         )
 
+        # Fused Pallas fast path: one kernel replaces interp + the 4-step
+        # sparse chain (tile-skipped flash attention over the compressed
+        # mask; element mask uses the dense-resize semantics so this path is
+        # exactly consistent with the train path). Causal only for now
+        # (the padded-BERT width bookkeeping stays on the CSR path).
+        use_fused = (
+            benchmarking
+            and cfg.use_pallas
+            and cfg.causal
+            and cfg.k_oversample == 1.0
+            and T_DST % 128 == 0
+            and T_SRC % 128 == 0
+        )
+        if use_fused:
+            with bench.region("attention.fused"):
+                estimated_scales = self.dec_scaler(t_attention_predictor)
+                row_scaler = (
+                    jax.nn.sigmoid(estimated_scales[..., 0])
+                    if cfg.partial_attention_scaler
+                    else None
+                )
+                from ..ops.kernels.block_sparse import sea_block_sparse_attention
+
+                partial_context_layer = sea_block_sparse_attention(
+                    q_for_score,
+                    k_for_score,
+                    v,
+                    (partial_attention_mask_m > 0).astype(q.dtype),
+                    row_scaler,
+                    is_causal=True,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                partial_attention_probs = None
+                partial_attention_mask = partial_attention_mask_m
+                attention_probs_dense = None
+            with bench.region("attention.avg_pool"):
+                avg_v = v * dst_alive.astype(v.dtype)
+                denom = jnp.arange(1, T_SRC + 1, dtype=jnp.float32).reshape(1, 1, -1, 1)
+                average_context_layer = (
+                    jnp.cumsum(avg_v.astype(jnp.float32), axis=-2) / denom
+                ).astype(v.dtype)
+                average_scale = jax.nn.sigmoid(estimated_scales[..., 1:2])
+                partial_context_layer = (
+                    partial_context_layer * average_scale
+                    + (1 - average_scale) * average_context_layer
+                )
+            partial_context_layer = jnp.transpose(partial_context_layer, (0, 2, 1, 3))
+            partial_context_layer = partial_context_layer.reshape(N, T_DST, H * D)
+            bench.register_temp_buffer("partial_context_layer", partial_context_layer)
+            return SeaAttentionOutput(
+                loss=loss,
+                context_layer=partial_context_layer,
+                partial_attention_probs=None,
+                partial_attention_mask=partial_attention_mask,
+                estimated_attention_probs_m=estimated_attention_probs,
+                estimated_attention_probs=estimated_attention_probs,
+                dense_attention_probs=None,
+                key_for_score=k_for_score,
+                state=last_state,
+            )
+
         # --- 7 "interp" (attention.py:956-1046) -----------------------------
         with bench.region("interp"):
             if not benchmarking:

@@ -167,8 +167,8 @@ class OptAttention(nn.Module):
             ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
             return self.out_proj(ctx), None, None
 
-        assert c.attention_method == "perlin", c.attention_method
-        out: SeaAttentionOutput = self.perlin(
+        assert c.attention_method == "perlin", c.attention_method  # dispatch
+        out: SeaAttentionOutput = self.perlin(  # noqa: F821
             q,
             k,
             v,
@@ -185,6 +185,23 @@ class OptAttention(nn.Module):
             rng=rng,
         )
         return self.out_proj(out.context_layer), out.loss, None
+
+    def init_state(self, batch: int, max_len: int, dtype=jnp.float32):
+        assert self.cfg.attention_method == "perlin"
+        return self.perlin.init_state(batch, max_len, dtype)
+
+    def decode(self, hidden_states: jnp.ndarray, state):
+        """One decode step: hidden_states (N, 1, E) -> (attn_out, new_state).
+        The reference threads this state as past_key_value[2]
+        (`perlin_opt.py:625-626`)."""
+        c = self.cfg
+        N, T1, E = hidden_states.shape
+        scaling = c.head_dim ** -0.5
+        q = self._heads(self.q_proj(hidden_states) * scaling)
+        k = self._heads(self.k_proj(hidden_states))
+        v = self._heads(self.v_proj(hidden_states))
+        out, new_state = self.perlin.decode(q, k, v, state)
+        return self.out_proj(out), new_state
 
 
 class OptDecoderLayer(nn.Module):
@@ -236,6 +253,25 @@ class OptDecoderLayer(nn.Module):
         if not c.do_layer_norm_before:
             h = self.final_layer_norm(h)
         return h, aux_loss, capture
+
+    def decode(self, hidden_states: jnp.ndarray, state):
+        c = self.cfg
+        residual = hidden_states
+        h = hidden_states
+        if c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+        h, new_state = self.self_attn.decode(h, state)
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+        residual = h
+        if c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        h = self.fc2(nn.relu(self.fc1(h)))
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        return h, new_state
 
 
 class OptModel(nn.Module):
@@ -321,6 +357,26 @@ class OptForCausalLM(nn.Module):
 
     def setup(self):
         self.model = OptModel(self.cfg, name="model")
+
+    def init_decode_states(self, batch: int, max_len: int, dtype=jnp.float32):
+        return [
+            layer.self_attn.init_state(batch, max_len, dtype)
+            for layer in self.model.layers
+        ]
+
+    def decode_step(self, token_ids: jnp.ndarray, position: jnp.ndarray, states):
+        """One autoregressive step (reference §3.4 opt_generate path).
+
+        token_ids: (N, 1); position: () int32 (0-based); states: per-layer
+        SeaDecodeState list. Returns (logits (N, 1, V), new_states)."""
+        h = self.model.embed_tokens(token_ids)
+        h = h + self.model.embed_positions(position[None, None] + 2)
+        new_states = []
+        for layer, st in zip(self.model.layers, states):
+            h, st2 = layer.decode(h, st)
+            new_states.append(st2)
+        h = self.model.finalize(h)
+        return self.logits(h), new_states
 
     def logits(self, h: jnp.ndarray) -> jnp.ndarray:
         embedding = self.model.embed_tokens.embedding

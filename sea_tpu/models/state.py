@@ -56,7 +56,7 @@ def init_decode_state(
     max_len: int,
     dtype=jnp.float32,
 ) -> SeaDecodeState:
-    Dv = head_dim * 3  # [identity ‖ v] performer value width
+    Dv = head_dim * 2  # [identity ‖ v] performer value width
     C = dec_row_splits * num_heads
     Wd = predictor_length // dec_row_down_scale
     return SeaDecodeState(
