@@ -61,10 +61,18 @@ class WindowedCorpus:
             np.random.default_rng(seed).shuffle(order)
         order = order[shard_id::num_shards]
         L = self.max_length
+        from ..native import window_batch_native
+
         for i in range(0, len(order), batch_size):
             chunk = order[i : i + batch_size]
             if len(chunk) < batch_size:
                 break
+            native = window_batch_native(
+                self.tokens, chunk.astype(np.int64), L, self.stride
+            )
+            if native is not None:
+                yield native
+                continue
             ids_b = np.full((batch_size, L), 1, np.int32)  # pad id 1
             mask_b = np.zeros((batch_size, L), np.int32)
             lab_b = np.full((batch_size, L), -100, np.int64)

@@ -1,0 +1,239 @@
+"""LRA trainer (reference `src/trainer/lra_trainer.py:83-304`): first train
+a *dense* BERT on the task, checkpoint it, then distill a SEA student from
+that teacher (KD weights: 0.1*task + 10*hidden MSE + attention distill —
+reference `:141-193`, no logit KL for LRA).
+
+Run: python -m sea_tpu.training.lra_trainer --task listops --steps 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SeaConfig
+from ..data.lra import LRA_TASKS, get_lra
+from ..models.bert import BertConfig
+from ..models.loader import student_from_teacher
+from .optimizer import make_optimizer
+
+
+def lra_bert_config(task: str, attention_method: str, k: int = 64,
+                    predictor_length: int = 128) -> BertConfig:
+    spec = LRA_TASKS[task]
+    head_dim = spec.hidden_size // spec.num_heads
+    sea = SeaConfig(
+        num_heads=spec.num_heads,
+        head_dim=head_dim,
+        predictor_length=predictor_length,
+        k=k,
+        performer_nb_factor=1,
+        causal=False,
+    ).validate()
+    return BertConfig(
+        vocab_size=spec.vocab_size,
+        hidden_size=spec.hidden_size,
+        num_layers=spec.num_layers,
+        num_heads=spec.num_heads,
+        ffn_dim=spec.ffn_dim,
+        max_position_embeddings=spec.max_position_embeddings,
+        num_labels=spec.num_labels,
+        attention_method=attention_method,
+        sea=sea,
+    )
+
+
+@dataclasses.dataclass
+class LraTrainerConfig:
+    task: str = "listops"
+    phase: str = "distill"  # 'dense' (train teacher) | 'distill' (SEA student)
+    num_steps: int = 1000
+    eval_steps: int = 250
+    batch_size: Optional[int] = None
+    max_length: Optional[int] = None
+    n_train: int = 2048
+    k: int = 64
+    predictor_length: int = 128
+    seed: int = 42
+    save_dir: str = "./saves/lra_trainer"
+    scale: float = 1.0  # model-size scale for smoke tests
+
+
+class LraTrainer:
+    def __init__(self, cfg: LraTrainerConfig):
+        self.cfg = cfg
+        spec = LRA_TASKS[cfg.task]
+        self.batch_size = cfg.batch_size or spec.batch_size
+        self.t_cfg = lra_bert_config(cfg.task, "none", cfg.k, cfg.predictor_length)
+        self.s_cfg = lra_bert_config(cfg.task, "perlin", cfg.k, cfg.predictor_length)
+        if cfg.scale != 1.0:
+            self.t_cfg, self.s_cfg = (
+                self._scaled(self.t_cfg), self._scaled(self.s_cfg)
+            )
+        self.train_ds = get_lra(cfg.task, "train", cfg.n_train, cfg.max_length)
+        self.eval_ds = get_lra(cfg.task, "valid", max(cfg.n_train // 4, 64), cfg.max_length)
+
+        from .distill import SeaBertKD
+
+        self.kd = SeaBertKD(self.t_cfg, self.s_cfg)
+        T = self.train_ds.input_ids.shape[1]
+        ids = jnp.ones((self.batch_size, T), jnp.int32)
+        mask = jnp.ones((self.batch_size, T), jnp.int32)
+        self.t_vars = self.kd.teacher.init(jax.random.key(0), ids, mask)
+        self._load_teacher_checkpoint()
+        s_vars = self.kd.student.init(jax.random.key(1), ids, mask)
+        s_vars = student_from_teacher(s_vars, self.t_vars["params"])
+        self.s_params = s_vars["params"]
+        self.s_extra = {k: v for k, v in s_vars.items() if k != "params"}
+
+        spec_lr = LRA_TASKS[cfg.task]
+        self.tx = make_optimizer(lr=spec_lr.lr, wd=spec_lr.wd, lr_low_scale=1.0)
+        self.t_params_mut = self.t_vars["params"]  # trained in 'dense' phase
+        self.t_opt_state = self.tx.init(self.t_params_mut)
+        self.opt_state = self.tx.init(self.s_params)
+        self.rng = jax.random.key(cfg.seed)
+        self.step = 0
+        self._dense_step = jax.jit(self._dense_step_impl)
+        self._kd_step = jax.jit(self._kd_step_impl)
+        self._eval_dense = jax.jit(self._eval_dense_impl)
+        self._eval_student = jax.jit(self._eval_student_impl)
+        os.makedirs(cfg.save_dir, exist_ok=True)
+
+    def _scaled(self, c: BertConfig) -> BertConfig:
+        s = self.cfg.scale
+        sea = dataclasses.replace(
+            c.sea,
+            num_heads=max(int(c.num_heads * s), 1),
+            head_dim=max(int(c.head_dim * s), 8),
+            predictor_length=max(int(c.sea.predictor_length * s), 8),
+            k=max(int(c.sea.k * s), 2),
+        )
+        return dataclasses.replace(
+            c,
+            num_heads=sea.num_heads,
+            hidden_size=sea.num_heads * sea.head_dim,
+            ffn_dim=max(int(c.ffn_dim * s), 16),
+            num_layers=max(int(c.num_layers * s), 1),
+            sea=sea,
+        )
+
+    # -- teacher pretraining ("dense" phase; reference trains the same
+    #    architecture dense, then loads it as teacher, lra_trainer.py:118-140)
+    def _dense_step_impl(self, params, opt_state, ids, mask, tt, labels):
+        def loss_fn(p):
+            out = self.kd.teacher.apply({"params": p}, ids, mask, tt, labels=labels)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def _kd_step_impl(self, s_params, opt_state, t_params, ids, mask, tt, labels, rng):
+        def loss_fn(p):
+            sv = dict(self.s_extra)
+            sv["params"] = p
+            loss, det = self.kd.kd_loss(
+                {"params": t_params}, sv, ids, mask, labels, tt, rng
+            )
+            return loss, {k: v for k, v in det.items() if k != "logits"}
+
+        (loss, det), grads = jax.value_and_grad(loss_fn, has_aux=True)(s_params)
+        updates, opt_state = self.tx.update(grads, opt_state, s_params)
+        return optax.apply_updates(s_params, updates), opt_state, loss, det
+
+    def _eval_dense_impl(self, params, ids, mask, tt):
+        return self.kd.teacher.apply({"params": params}, ids, mask, tt)["logits"]
+
+    def _eval_student_impl(self, s_params, ids, mask, tt):
+        sv = dict(self.s_extra)
+        sv["params"] = s_params
+        return self.kd.student.apply(sv, ids, mask, tt)["logits"]
+
+    def _teacher_ckpt_path(self):
+        return os.path.abspath(
+            os.path.join(self.cfg.save_dir, f"{self.cfg.task}_teacher")
+        )
+
+    def _load_teacher_checkpoint(self):
+        path = self._teacher_ckpt_path()
+        if os.path.exists(path):
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            restored = ckptr.restore(path, self.t_vars["params"])
+            self.t_vars = {**self.t_vars, "params": restored}
+
+    def save_teacher(self):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(self._teacher_ckpt_path(), self.t_params_mut, force=True)
+        ckptr.wait_until_finished()
+
+    def evaluate(self, which="student", max_batches=8) -> float:
+        correct, total = 0, 0
+        for i, (ids, mask, tt, labels) in enumerate(
+            self.eval_ds.batches(self.batch_size)
+        ):
+            if i >= max_batches:
+                break
+            fn = self._eval_student if which == "student" else self._eval_dense
+            p = self.s_params if which == "student" else self.t_params_mut
+            logits = np.asarray(fn(p, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)))
+            correct += int((logits.argmax(-1) == labels).sum())
+            total += len(labels)
+        return correct / max(total, 1)
+
+    def train(self):
+        cfg = self.cfg
+        while self.step < cfg.num_steps:
+            for ids, mask, tt, labels in self.train_ds.batches(
+                self.batch_size, shuffle=True, seed=cfg.seed + self.step
+            ):
+                b = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt), jnp.asarray(labels))
+                if cfg.phase == "dense":
+                    self.t_params_mut, self.t_opt_state, loss = self._dense_step(
+                        self.t_params_mut, self.t_opt_state, *b
+                    )
+                else:
+                    self.rng, rng = jax.random.split(self.rng)
+                    self.s_params, self.opt_state, loss, det = self._kd_step(
+                        self.s_params, self.opt_state, self.t_vars["params"], *b, rng
+                    )
+                self.step += 1
+                if self.step >= cfg.num_steps:
+                    if cfg.phase == "dense":
+                        self.save_teacher()
+                    return
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="listops")
+    p.add_argument("--phase", default="distill", choices=["dense", "distill"])
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-length", type=int, default=None)
+    p.add_argument("--scale", type=float, default=1.0)
+    args = p.parse_args()
+    cfg = LraTrainerConfig(
+        task=args.task, phase=args.phase, num_steps=args.steps,
+        batch_size=args.batch_size, max_length=args.max_length, scale=args.scale,
+    )
+    tr = LraTrainer(cfg)
+    tr.train()
+    which = "dense" if args.phase == "dense" else "student"
+    print(f"{args.task} {which} accuracy:", tr.evaluate(which))
+
+
+if __name__ == "__main__":
+    main()
