@@ -9,20 +9,20 @@ flash-style kernel that:
     mask_m[r, pixel(r, s)] with pixel(r,s) = floor((s+0.5)/w_r * T_M - 1e-4),
     reference `resize_m_to_t.py:46`), so the kernel path is exactly
     consistent with the differentiable train path;
-  * skips (BQ x BK) tiles with no alive column, using precomputed per-tile
-    activity lists (scalar-prefetched) — the analogue of splash-attention's
-    mask-block skipping, driven here by SEA's *dynamic* estimated mask;
-  * computes q.k^T on the MXU only for active tiles, applies the bit-packed
-    element mask, does an online-softmax (flash) accumulation of P.V, and
-    multiplies the per-(row,head) sigmoid scaler into the output.
+  * skips (BQ x BK) tiles with no alive column, using per-tile activity
+    lists computed by interval math in the *compressed* domain (the
+    splash-attention block-skipping idea, driven by SEA's dynamic mask);
+  * expands the mask *inside the kernel arithmetically*: the compressed row
+    mask is bit-packed into T_M/32 uint32 words; each tile computes its
+    pixel indices with iota math and extracts bits with a static select
+    chain + variable shifts — no gathers anywhere, so prep is O(T*T_M)
+    instead of the O(T^2) element-mask materialisation;
+  * computes q.k^T on the MXU for active tiles, runs an online-softmax
+    (flash) accumulation of P.V, and fuses the per-(row,head) sigmoid
+    scaler into the output.
 
-Memory traffic per (n,h,q-block): q once + k/v tiles of active blocks + the
-packed bitmask (T/8 bytes per row) — near speed-of-light for the sparse
-access pattern, vs. the XLA gather path which decomposes into per-element
-dynamic gathers.
-
-Layout: heads are folded into the batch grid dimension, which realises the
-per-(row, head) segmented-softmax semantics of `flat_csr_softmax` exactly.
+Heads fold into the batch grid dimension, which realises the per-(row,
+head) segmented-softmax semantics of `flat_csr_softmax` exactly.
 """
 
 from __future__ import annotations
@@ -41,135 +41,96 @@ NEG_INF = -1e30
 
 
 # ---------------------------------------------------------------------------
-# XLA-side preparation
+# XLA-side preparation — everything O(T * T_M), no dense T x T tensors.
 # ---------------------------------------------------------------------------
 
 
-def pack_alive_bits(
-    mask_m: jnp.ndarray,
-    t_src: int,
-    is_causal: bool,
-    row_chunk: int = 256,
-) -> jnp.ndarray:
-    """(N, H, T_DST, T_M) binary compressed mask -> (N, H, T_DST, T_SRC//32)
-    uint32 packed element mask under dense-resize semantics (+ causal).
-
-    Computed in row chunks via lax.map so only O(chunk * T_SRC) is transient.
-    """
-    N, H, T_DST, T_M = mask_m.shape
-    assert t_src % 32 == 0
-    m = (mask_m > 0).reshape(N * H, T_DST, T_M)
-
-    s_idx = jnp.arange(t_src, dtype=jnp.float32)  # (T_SRC,)
+def pack_compressed_bits(mask_m: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, T_DST, T_M) binary mask -> (N, H, T_DST, ceil(T_M/32)) uint32
+    (zero-padded to a whole word; pixel indices never reach the padding)."""
+    N, H, T, T_M = mask_m.shape
+    pad = (-T_M) % 32
+    m = mask_m > 0
+    if pad:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, pad)))
     bit_w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)).astype(jnp.uint32)
-
-    n_chunks = (T_DST + row_chunk - 1) // row_chunk
-    pad_rows = n_chunks * row_chunk - T_DST
-    m_p = jnp.pad(m, ((0, 0), (0, pad_rows), (0, 0)))
-    m_c = m_p.reshape(N * H, n_chunks, row_chunk, T_M)
-    m_c = jnp.moveaxis(m_c, 1, 0)  # (n_chunks, NH, row_chunk, T_M)
-
-    def chunk_fn(args):
-        ci, m_blk = args  # m_blk: (NH, row_chunk, T_M)
-        r0 = ci * row_chunk
-        rows = r0 + jnp.arange(row_chunk, dtype=jnp.int32)  # (RC,)
-        if is_causal:
-            w = (rows + 1).astype(jnp.float32)[:, None]  # (RC,1)
-        else:
-            w = jnp.full((row_chunk, 1), float(t_src), jnp.float32)
-        pixel = jnp.floor((s_idx[None, :] + 0.5) / w * T_M - 1e-4).astype(jnp.int32)
-        pixel = jnp.clip(pixel, 0, T_M - 1)  # (RC, T_SRC)
-        alive = jnp.take_along_axis(
-            m_blk, jnp.broadcast_to(pixel[None], (m_blk.shape[0],) + pixel.shape),
-            axis=-1,
-        )
-        if is_causal:
-            alive = alive & (s_idx[None, None, :] <= rows[None, :, None])
-        packed = alive.reshape(m_blk.shape[0], row_chunk, t_src // 32, 32)
-        packed = jnp.sum(
-            packed.astype(jnp.uint32) * bit_w[None, None, None, :],
-            axis=-1,
-            dtype=jnp.uint32,
-        )
-        return packed  # (NH, RC, T_SRC//32)
-
-    packed = jax.lax.map(
-        chunk_fn, (jnp.arange(n_chunks, dtype=jnp.int32), m_c)
-    )  # (n_chunks, NH, RC, W)
-    packed = jnp.moveaxis(packed, 0, 1).reshape(N * H, n_chunks * row_chunk, -1)
-    return packed[:, :T_DST].reshape(N, H, T_DST, t_src // 32)
+    m = m.reshape(N, H, T, (T_M + pad) // 32, 32)
+    return jnp.sum(m.astype(jnp.uint32) * bit_w, axis=-1, dtype=jnp.uint32)
 
 
-def element_mask_int8(
+def _pixel_starts(widths: jnp.ndarray, t_m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive run starts / exclusive ends of each compressed pixel under
+    the dense-resize floor semantics. widths: (R,) float; returns
+    (vs, ve) each (R, T_M) int32 (columns, clipped to [0, w))."""
+    b = jnp.arange(t_m + 1, dtype=jnp.float32)[None, :]
+    w = widths[:, None]
+    bounds = jnp.ceil((b + 1e-4) * w / t_m - 0.5).astype(jnp.int32)
+    bounds = jnp.clip(bounds, 0, w.astype(jnp.int32))
+    return bounds[:, :-1], bounds[:, 1:]
+
+
+def tile_activity_lists(
     mask_m: jnp.ndarray,
     t_src: int,
     is_causal: bool,
-    row_chunk: int = 256,
-) -> jnp.ndarray:
-    """(N,H,T_DST,T_M) compressed mask -> (N,H,T_DST,T_SRC) int8 alive mask
-    (dense-resize semantics + causal). The unpacked twin of
-    `pack_alive_bits` — Mosaic consumes int8 tiles directly, no in-kernel
-    bit unpacking. O(T^2) bytes; fine to ~8k sequence, after which the
-    packed layout should take over."""
-    N, H, T_DST, T_M = mask_m.shape
-    m = (mask_m > 0).reshape(N * H, T_DST, T_M)
-    s_idx = jnp.arange(t_src, dtype=jnp.float32)
-    n_chunks = (T_DST + row_chunk - 1) // row_chunk
-    pad_rows = n_chunks * row_chunk - T_DST
-    m_p = jnp.pad(m, ((0, 0), (0, pad_rows), (0, 0)))
-    m_c = jnp.moveaxis(
-        m_p.reshape(N * H, n_chunks, row_chunk, T_M), 1, 0
-    )
-
-    def chunk_fn(args):
-        ci, m_blk = args
-        rows = ci * row_chunk + jnp.arange(row_chunk, dtype=jnp.int32)
-        if is_causal:
-            w = (rows + 1).astype(jnp.float32)[:, None]
-        else:
-            w = jnp.full((row_chunk, 1), float(t_src), jnp.float32)
-        pixel = jnp.floor((s_idx[None, :] + 0.5) / w * T_M - 1e-4).astype(jnp.int32)
-        pixel = jnp.clip(pixel, 0, T_M - 1)
-        alive = jnp.take_along_axis(
-            m_blk,
-            jnp.broadcast_to(pixel[None], (m_blk.shape[0],) + pixel.shape),
-            axis=-1,
-        )
-        if is_causal:
-            alive = alive & (s_idx[None, None, :] <= rows[None, :, None])
-        return alive.astype(jnp.int8)
-
-    alive = jax.lax.map(chunk_fn, (jnp.arange(n_chunks, dtype=jnp.int32), m_c))
-    alive = jnp.moveaxis(alive, 0, 1).reshape(N * H, n_chunks * row_chunk, t_src)
-    return alive[:, :T_DST].reshape(N, H, T_DST, t_src)
-
-
-def active_tile_lists(
-    bits: jnp.ndarray, block_q: int, block_k: int
+    block_q: int,
+    block_k: int,
+    row_chunk: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per (n, h, q-block): ascending list of active k-block indices.
+    """Per (n, h, q-block): ascending list of active k-block indices from
+    compressed-domain interval overlap (conservative superset: run bounds
+    padded by one column against fp boundary rounding).
 
-    Returns (counts (N,H,NQ) int32, idx (N,H,NQ,NKB) int32); idx is padded
-    by repeating the last active block so BlockSpec index maps re-fetch
-    nothing for skipped grid steps.
-    """
-    N, H, T, W = bits.shape
-    t_src = W * 32
-    assert T % block_q == 0 and t_src % block_k == 0
-    NQ, NKB = T // block_q, t_src // block_k
-    wpb = block_k // 32
-    tile = bits.reshape(N, H, NQ, block_q, NKB, wpb)
-    active = jnp.any(tile != 0, axis=(3, 5))  # (N,H,NQ,NKB)
-    counts = active.sum(-1).astype(jnp.int32)
-    # stable argsort of (not active) puts active block indices first, ascending
-    order = jnp.argsort(jnp.where(active, 0, 1), axis=-1, stable=True)
+    Returns (counts (N,H,NQ) int32, idx (N,H,NQ,NKB) int32), idx padded by
+    repeating the last active block (skipped grid steps refetch nothing)."""
+    N, H, T_DST, T_M = mask_m.shape
+    NQ, NKB = T_DST // block_q, t_src // block_k
+    m = mask_m > 0
+
+    rows = jnp.arange(T_DST, dtype=jnp.float32)
+    widths = rows + 1.0 if is_causal else jnp.full((T_DST,), float(t_src))
+    vs, ve = _pixel_starts(widths, T_M)  # (T_DST, T_M)
+    lo_blk = jnp.maximum(vs - 1, 0) // block_k  # (T_DST, T_M)
+    hi_blk = jnp.minimum(ve, widths.astype(jnp.int32)[:, None] - 1) // block_k
+    nonempty = ve > vs
+
+    # activity[r, j] = any_b m[r,b] & nonempty & lo<=j<=hi, chunked over rows
+    j_ids = jnp.arange(NKB, dtype=jnp.int32)
+
+    n_chunks = (T_DST + row_chunk - 1) // row_chunk
+    pad = n_chunks * row_chunk - T_DST
+    m_p = jnp.pad(m.reshape(N * H, T_DST, T_M), ((0, 0), (0, pad), (0, 0)))
+    lo_p = jnp.pad(lo_blk, ((0, pad), (0, 0)))
+    hi_p = jnp.pad(hi_blk, ((0, pad), (0, 0)), constant_values=-1)
+    ne_p = jnp.pad(nonempty, ((0, pad), (0, 0)))
+
+    def chunk_fn(ci):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, ci * row_chunk, row_chunk, 0)
+        m_c = jax.lax.dynamic_slice_in_dim(m_p, ci * row_chunk, row_chunk, 1)
+        lo_c, hi_c, ne_c = sl(lo_p), sl(hi_p), sl(ne_p)
+        # (RC, T_M, NKB) bool — 512*256*32 = 4M per chunk
+        inside = (
+            (j_ids[None, None, :] >= lo_c[:, :, None])
+            & (j_ids[None, None, :] <= hi_c[:, :, None])
+            & ne_c[:, :, None]
+        )
+        # (NH, RC, NKB)
+        return jnp.einsum(
+            "nrb,rbj->nrj",
+            m_c.astype(jnp.float32),
+            inside.astype(jnp.float32),
+        ) > 0
+
+    act = jax.lax.map(chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32))
+    act = jnp.moveaxis(act, 0, 1).reshape(N * H, n_chunks * row_chunk, NKB)
+    act = act[:, :T_DST].reshape(N, H, NQ, block_q, NKB).any(axis=3)
+
+    counts = act.sum(-1).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(act, 0, 1), axis=-1, stable=True)
     ar = jnp.arange(NKB, dtype=jnp.int32)
     within = ar[None, None, None, :] < jnp.maximum(counts[..., None], 1)
     idx = jnp.where(within, order, 0).astype(jnp.int32)
-    # pad tail with the last active index (no-op refetches)
-    last = jnp.take_along_axis(
-        idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1
-    )
+    last = jnp.take_along_axis(idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1)
     idx = jnp.where(within, idx, last)
     return counts, idx
 
@@ -185,12 +146,18 @@ def _kernel(
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
-    alive_ref,  # (1, BQ, BK) int8 element mask tile
+    mbits_ref,  # (1, BQ, T_M//32) uint32 — compressed-domain packed mask
     scale_ref,  # (1, BQ, 128) row scaler (broadcast over lanes)
     o_ref,  # (1, BQ, D)
     m_scr,  # (BQ, 128) f32
     l_scr,  # (BQ, 128) f32
     acc_scr,  # (BQ, D) f32
+    *,
+    t_m: int,
+    t_src: int,
+    is_causal: bool,
+    block_q: int,
+    block_k: int,
 ):
     h = pl.program_id(0)
     q_blk = pl.program_id(1)
@@ -210,8 +177,32 @@ def _kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        # int8 compare is unsupported on some TPU targets; widen first
-        alive = alive_ref[0].astype(jnp.float32) > 0.0
+
+        bk = idx_ref[h, q_blk, j]
+        BQ, BK = block_q, block_k
+        r_glob = (
+            q_blk * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+        )
+        s_glob = bk * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        if is_causal:
+            width = (r_glob + 1).astype(jnp.float32)
+        else:
+            width = jnp.full((BQ, BK), float(t_src), jnp.float32)
+        u = (s_glob.astype(jnp.float32) + 0.5) / width * t_m - 1e-4
+        pix = jnp.clip(u.astype(jnp.int32), 0, t_m - 1)  # floor for u >= 0
+
+        # bit extraction: static select chain over the T_M//32 words
+        word_idx = pix // 32
+        bit_idx = (pix % 32).astype(jnp.uint32)
+        words = jnp.zeros((BQ, BK), jnp.uint32)
+        for wi in range((t_m + 31) // 32):
+            w_col = mbits_ref[0, :, wi][:, None]  # (BQ, 1)
+            words = jnp.where(word_idx == wi, w_col, words)
+        alive = ((words >> bit_idx) & 1) == 1
+        if is_causal:
+            alive = alive & (s_glob <= r_glob)
+        else:
+            alive = alive & (s_glob < t_src)
 
         s = jnp.where(alive, s, NEG_INF)
         m_prev = m_scr[:, 0:1]  # (BQ,1)
@@ -255,13 +246,14 @@ def sea_block_sparse_attention(
     """
     N, H, T_DST, D = q.shape
     T_SRC = k.shape[2]
+    T_M = mask_m.shape[-1]
     assert T_DST % block_q == 0 and T_SRC % block_k == 0
+    n_words = (T_M + 31) // 32
 
-    alive8 = element_mask_int8(mask_m, T_SRC, is_causal).reshape(
-        N * H, T_DST, T_SRC
+    mbits = pack_compressed_bits(mask_m)  # (N, H, T, T_M//32)
+    counts, idx = tile_activity_lists(
+        mask_m, T_SRC, is_causal, block_q, block_k
     )
-    bits = pack_alive_bits(mask_m, T_SRC, is_causal)  # (N,H,T,W)
-    counts, idx = active_tile_lists(bits, block_q, block_k)
 
     NH = N * H
     NQ = T_DST // block_q
@@ -269,6 +261,7 @@ def sea_block_sparse_attention(
     qf = q.reshape(NH, T_DST, D)
     kf = k.reshape(NH, T_SRC, D)
     vf = v.reshape(NH, T_SRC, D)
+    mbitsf = mbits.reshape(NH, T_DST, n_words)
     countsf = counts.reshape(NH, NQ)
     idxf = idx.reshape(NH, NQ, NKB)
     if row_scaler is None:
@@ -278,15 +271,20 @@ def sea_block_sparse_attention(
             row_scaler.reshape(NH, T_DST, 1), (NH, T_DST, 128)
         ).astype(q.dtype)
 
-    wpb = block_k // 32
+    kernel = functools.partial(
+        _kernel,
+        t_m=T_M,
+        t_src=T_SRC,
+        is_causal=is_causal,
+        block_q=block_q,
+        block_k=block_k,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(NH, NQ, NKB),
         in_specs=[
-            pl.BlockSpec(
-                (1, block_q, D), lambda h, i, j, c, x: (h, i, 0)
-            ),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x: (h, i, 0)),
             pl.BlockSpec(
                 (1, block_k, D), lambda h, i, j, c, x: (h, x[h, i, j], 0)
             ),
@@ -294,11 +292,9 @@ def sea_block_sparse_attention(
                 (1, block_k, D), lambda h, i, j, c, x: (h, x[h, i, j], 0)
             ),
             pl.BlockSpec(
-                (1, block_q, block_k), lambda h, i, j, c, x: (h, i, x[h, i, j])
+                (1, block_q, n_words), lambda h, i, j, c, x: (h, i, 0)
             ),
-            pl.BlockSpec(
-                (1, block_q, 128), lambda h, i, j, c, x: (h, i, 0)
-            ),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x: (h, i, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, D), lambda h, i, j, c, x: (h, i, 0)
@@ -311,15 +307,92 @@ def sea_block_sparse_attention(
     )
 
     out = pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NH, T_DST, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(countsf, idxf, qf, kf, vf, alive8, scalerf)
+    )(countsf, idxf, qf, kf, vf, mbitsf, scalerf)
     return out.reshape(N, H, T_DST, D)
+
+
+# ---------------------------------------------------------------------------
+# Oracles / compatibility helpers (used by tests and the bench harness)
+# ---------------------------------------------------------------------------
+
+
+def element_mask_int8(
+    mask_m: jnp.ndarray,
+    t_src: int,
+    is_causal: bool,
+    row_chunk: int = 256,
+) -> jnp.ndarray:
+    """Materialised (N,H,T_DST,T_SRC) int8 alive mask (dense-resize
+    semantics + causal). O(T^2) — test/debug only; the kernel never needs
+    it."""
+    N, H, T_DST, T_M = mask_m.shape
+    m = (mask_m > 0).reshape(N * H, T_DST, T_M)
+    s_idx = jnp.arange(t_src, dtype=jnp.float32)
+    n_chunks = (T_DST + row_chunk - 1) // row_chunk
+    pad_rows = n_chunks * row_chunk - T_DST
+    m_p = jnp.pad(m, ((0, 0), (0, pad_rows), (0, 0)))
+    m_c = jnp.moveaxis(m_p.reshape(N * H, n_chunks, row_chunk, T_M), 1, 0)
+
+    def chunk_fn(args):
+        ci, m_blk = args
+        rows = ci * row_chunk + jnp.arange(row_chunk, dtype=jnp.int32)
+        if is_causal:
+            w = (rows + 1).astype(jnp.float32)[:, None]
+        else:
+            w = jnp.full((row_chunk, 1), float(t_src), jnp.float32)
+        pixel = jnp.floor((s_idx[None, :] + 0.5) / w * T_M - 1e-4).astype(jnp.int32)
+        pixel = jnp.clip(pixel, 0, T_M - 1)
+        alive = jnp.take_along_axis(
+            m_blk,
+            jnp.broadcast_to(pixel[None], (m_blk.shape[0],) + pixel.shape),
+            axis=-1,
+        )
+        if is_causal:
+            alive = alive & (s_idx[None, None, :] <= rows[None, :, None])
+        return alive.astype(jnp.int8)
+
+    alive = jax.lax.map(chunk_fn, (jnp.arange(n_chunks, dtype=jnp.int32), m_c))
+    alive = jnp.moveaxis(alive, 0, 1).reshape(N * H, n_chunks * row_chunk, t_src)
+    return alive[:, :T_DST].reshape(N, H, T_DST, t_src)
+
+
+def pack_alive_bits(
+    mask_m: jnp.ndarray, t_src: int, is_causal: bool, row_chunk: int = 256
+) -> jnp.ndarray:
+    """Packed (N,H,T_DST,T_SRC//32) uint32 element mask (test/debug)."""
+    alive = element_mask_int8(mask_m, t_src, is_causal, row_chunk)
+    N, H, T, _ = alive.shape
+    bit_w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)).astype(jnp.uint32)
+    packed = alive.reshape(N, H, T, t_src // 32, 32)
+    return jnp.sum(packed.astype(jnp.uint32) * bit_w, axis=-1, dtype=jnp.uint32)
+
+
+def active_tile_lists(
+    bits: jnp.ndarray, block_q: int, block_k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Activity lists from a packed *element* mask (test/debug twin of
+    `tile_activity_lists` — exact, not conservative)."""
+    N, H, T, W = bits.shape
+    t_src = W * 32
+    NQ, NKB = T // block_q, t_src // block_k
+    wpb = block_k // 32
+    tile = bits.reshape(N, H, NQ, block_q, NKB, wpb)
+    active = jnp.any(tile != 0, axis=(3, 5))
+    counts = active.sum(-1).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(active, 0, 1), axis=-1, stable=True)
+    ar = jnp.arange(NKB, dtype=jnp.int32)
+    within = ar[None, None, None, :] < jnp.maximum(counts[..., None], 1)
+    idx = jnp.where(within, order, 0).astype(jnp.int32)
+    last = jnp.take_along_axis(idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1)
+    idx = jnp.where(within, idx, last)
+    return counts, idx
 
 
 def dense_reference(

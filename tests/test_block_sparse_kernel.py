@@ -9,7 +9,9 @@ from sea_tpu.ops.kernels.block_sparse import (
     active_tile_lists,
     dense_reference,
     pack_alive_bits,
+    pack_compressed_bits,
     sea_block_sparse_attention,
+    tile_activity_lists,
 )
 
 
@@ -74,6 +76,40 @@ def test_kernel_matches_dense_oracle(causal, density):
     )
     want = dense_reference(q, k, v, mask, scaler, is_causal=causal)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_compressed_tile_activity_is_superset():
+    """The gather-free compressed-domain activity must cover every tile the
+    exact (element-mask) activity finds, for both causal and bidirectional."""
+    for causal in (True, False):
+        for density in (0.02, 0.3):
+            q, k, v, mask, _ = make_case(
+                T=256, T_M=32, density=density, causal=causal, seed=7
+            )
+            bits = pack_alive_bits(mask, 256, causal)
+            exact_counts, _ = active_tile_lists(bits, 64, 64)
+            c2, idx2 = tile_activity_lists(mask, 256, causal, 64, 64)
+            # exact active tiles must all appear in the conservative list
+            tilebits = np.asarray(bits).reshape(1, 2, 4, 64, 4, 2)
+            exact_active = (tilebits != 0).any(axis=(3, 5))
+            cc = np.asarray(c2)
+            ii = np.asarray(idx2)
+            for n in range(1):
+                for h in range(2):
+                    for qb in range(4):
+                        listed = set(ii[n, h, qb, : cc[n, h, qb]])
+                        for bk in range(4):
+                            if exact_active[n, h, qb, bk]:
+                                assert bk in listed, (causal, density, qb, bk)
+
+
+def test_pack_compressed_bits_roundtrip():
+    rng = np.random.default_rng(3)
+    mask = (rng.uniform(size=(1, 2, 8, 64)) < 0.5).astype(np.float32)
+    bits = np.asarray(pack_compressed_bits(jnp.asarray(mask)))
+    for b in range(64):
+        got = (bits[..., b // 32] >> (b % 32)) & 1
+        np.testing.assert_array_equal(got, mask[..., b].astype(np.uint32))
 
 
 def test_kernel_empty_rows_zero():
