@@ -77,6 +77,22 @@ class BertSelfAttention(nn.Module):
                     jax.random.key(1), c.sea.nb_features, c.head_dim
                 ),
             )
+        elif c.attention_method == "synthesizer":
+            from ..ops.baselines import SynthesizerDense
+
+            self.synthesizer = SynthesizerDense(
+                c.max_position_embeddings, name="synthesizer"
+            )
+        elif c.attention_method == "cosformer":
+            from ..ops.cosformer import CosformerAttention
+
+            self.cosformer = CosformerAttention(
+                embed_dim=c.hidden_size,
+                num_heads=c.num_heads,
+                has_outproj=False,
+                causal=False,
+                name="cosformer",
+            )
 
     def _heads(self, x):
         N, T, E = x.shape
@@ -117,6 +133,47 @@ class BertSelfAttention(nn.Module):
                 generalized=False,
             ).astype(hidden_states.dtype)
             ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
+            return ctx, None, None
+
+        if c.attention_method == "synthesizer":
+            m = attention_mask > -1  # (N,1,1,T)
+            ctx, _ = self.synthesizer(q, v, mask=m)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
+            return ctx, None, None
+
+        if c.attention_method == "cosformer":
+            alive = jnp.swapaxes(attention_mask, -1, -2) > -1  # (N,1,T,1)
+            h_seq = jnp.transpose(
+                hidden_states * alive[:, 0].astype(hidden_states.dtype), (1, 0, 2)
+            )
+            ctx = self.cosformer(h_seq)
+            return jnp.transpose(ctx, (1, 0, 2)), None, None
+
+        if c.attention_method == "reformer":
+            from ..ops.baselines import reformer_lsh_attention
+
+            mask_1d = (jnp.swapaxes(attention_mask, -1, -2) > -1)[:, 0, :, 0]
+            bs = max(min(max(c.sea.k, 8), T // 2), 1)
+            while T % bs:
+                bs -= 1
+            ctx = reformer_lsh_attention(
+                q, v, bucket_size=bs, n_hashes=4,
+                causal=False, mask_1d=mask_1d,
+            )
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
+            return ctx, None, None
+
+        if c.attention_method == "sinkhorn":
+            from ..ops.baselines import sinkhorn_block_attention
+
+            mask_1d = (jnp.swapaxes(attention_mask, -1, -2) > -1)[:, 0, :, 0]
+            bs = max(min(c.sea.k, T // 2), 1)
+            while T % bs:
+                bs -= 1
+            ctx = sinkhorn_block_attention(
+                q, k, v, block_size=bs, mask_1d=mask_1d
+            )
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
             return ctx, None, None
 
         assert c.attention_method == "perlin"

@@ -1,0 +1,163 @@
+"""Baseline efficient-attention operators for the benchmark tables.
+
+The reference wires these into its BERT/OPT dispatchers
+(`perlin_bert.py:305,330-364`, `perlin_opt.py:267-532`) from pip packages
+(synthesizer inline, sinkhorn_transformer, reformer_pytorch, cosformer
+in-repo). Here they are compact native JAX implementations with the same
+interfaces; they exist to reproduce the reference's baseline comparisons,
+not to be bit-identical to the third-party packages.
+
+  * SynthesizerDense — learned dense attention from q alone
+    (reference `perlin_bert.py:249-275`);
+  * reformer_lsh_attention — LSH-bucketed attention (random rotations,
+    sort by bucket, block-local attention in sorted order, multi-round
+    averaged);
+  * sinkhorn_block_attention — block-sorting attention: Sinkhorn-normalised
+    soft permutation over key blocks + local attention;
+  * cosformer lives in `sea_tpu/ops/cosformer.py`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SynthesizerDense(nn.Module):
+    """Dense synthesizer head: attn = softmax(W2 relu(W1 q))[:, :T]."""
+
+    max_seq_len: int
+    d_hid: int = 64
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, v: jnp.ndarray, mask=None):
+        N, H, T, D = q.shape
+        scores = nn.Dense(self.max_seq_len, name="w_2")(
+            nn.relu(nn.Dense(self.d_hid, name="w_1")(q))
+        )[..., :T]
+        if mask is not None:
+            scores = jnp.where(mask > 0, scores, -1e9)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(q.dtype)
+        return jnp.einsum("nhts,nhsd->nhtd", probs, v), probs
+
+
+def _bucket_ids(x: jnp.ndarray, n_buckets: int, rng: jax.Array) -> jnp.ndarray:
+    """Angular LSH: argmax over random rotations [R; -R]."""
+    D = x.shape[-1]
+    rot = jax.random.normal(rng, (D, n_buckets // 2), jnp.float32)
+    proj = jnp.einsum("...td,dr->...tr", x.astype(jnp.float32), rot)
+    proj = jnp.concatenate([proj, -proj], axis=-1)
+    return jnp.argmax(proj, axis=-1).astype(jnp.int32)
+
+
+def reformer_lsh_attention(
+    q: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    bucket_size: int = 64,
+    n_hashes: int = 4,
+    causal: bool = False,
+    mask_1d: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Shared-QK LSH attention (Reformer): hash q, sort, attend within
+    chunks of `bucket_size` (plus the previous chunk), average rounds."""
+    N, H, T, D = q.shape
+    if rng is None:
+        rng = jax.random.key(0)
+    n_buckets = max(2, T // bucket_size)
+    if n_buckets % 2:
+        n_buckets += 1
+    qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
+
+    outs = []
+    for h_i in range(n_hashes):
+        ids = _bucket_ids(qn, n_buckets, jax.random.fold_in(rng, h_i))
+        if mask_1d is not None:
+            # push padded tokens to the last bucket
+            ids = jnp.where(mask_1d[:, None, :] > 0, ids, n_buckets)
+        # stable sort by bucket, keep positions
+        key = ids * (T + 1) + jnp.arange(T, dtype=jnp.int32)
+        order = jnp.argsort(key, axis=-1)
+        inv = jnp.argsort(order, axis=-1)
+
+        def gather_t(x, o):
+            return jnp.take_along_axis(x, o[..., None], axis=2)
+
+        qs = gather_t(q, order)
+        vs = gather_t(v, order)
+        pos = jnp.take_along_axis(
+            jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), ids.shape), order, axis=-1
+        )
+        C = bucket_size
+        nc = T // C
+        qs = qs.reshape(N, H, nc, C, D)
+        vs = vs.reshape(N, H, nc, C, D)
+        pos_c = pos.reshape(N, H, nc, C)
+        # attend to own chunk and the previous chunk (reformer look-back)
+        ks = jnp.concatenate([jnp.roll(qs, 1, axis=2), qs], axis=3)
+        vv = jnp.concatenate([jnp.roll(vs, 1, axis=2), vs], axis=3)
+        kpos = jnp.concatenate([jnp.roll(pos_c, 1, axis=2), pos_c], axis=3)
+        scores = jnp.einsum("nhctd,nhcsd->nhcts", qs, ks) / math.sqrt(D)
+        # no self-attention to the exact same position; causal mask by pos
+        same = pos_c[..., :, None] == kpos[..., None, :]
+        scores = jnp.where(same, -1e5, scores)
+        if causal:
+            scores = jnp.where(
+                kpos[..., None, :] <= pos_c[..., :, None], scores, -1e9
+            )
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1)
+        o = jnp.einsum("nhcts,nhcsd->nhctd", probs, vv.astype(jnp.float32))
+        o = o.reshape(N, H, T, D)
+        outs.append(gather_t(o, inv))
+    return (sum(outs) / n_hashes).astype(q.dtype)
+
+
+def sinkhorn_block_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    block_size: int = 64,
+    sinkhorn_iters: int = 5,
+    temperature: float = 0.75,
+    mask_1d: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sparse Sinkhorn attention: learn-free variant using block-mean keys —
+    a Sinkhorn-normalised soft permutation matches each query block to key
+    blocks; attention runs against [own block ‖ matched block]."""
+    N, H, T, D = q.shape
+    B = block_size
+    nb = T // B
+    qb = q.reshape(N, H, nb, B, D)
+    kb = k.reshape(N, H, nb, B, D)
+    vb = v.reshape(N, H, nb, B, D)
+    q_mean = qb.mean(3)
+    k_mean = kb.mean(3)
+    logits = jnp.einsum("nhid,nhjd->nhij", q_mean, k_mean) / temperature
+    # Sinkhorn normalisation to a doubly-stochastic matrix
+    log_p = logits.astype(jnp.float32)
+    for _ in range(sinkhorn_iters):
+        log_p = log_p - jax.nn.logsumexp(log_p, axis=-1, keepdims=True)
+        log_p = log_p - jax.nn.logsumexp(log_p, axis=-2, keepdims=True)
+    p = jnp.exp(log_p)
+    # soft-permute key/value blocks toward each query block
+    k_perm = jnp.einsum("nhij,nhjsd->nhisd", p, kb.astype(jnp.float32))
+    v_perm = jnp.einsum("nhij,nhjsd->nhisd", p, vb.astype(jnp.float32))
+    ks = jnp.concatenate([kb.astype(jnp.float32), k_perm], axis=3)
+    vs = jnp.concatenate([vb.astype(jnp.float32), v_perm], axis=3)
+    scores = jnp.einsum("nhitd,nhisd->nhits", qb.astype(jnp.float32), ks)
+    scores = scores / math.sqrt(D)
+    if mask_1d is not None:
+        mblk = mask_1d.reshape(N, 1, nb, B) > 0
+        own = jnp.broadcast_to(mblk[..., None, :], scores[..., :B].shape)
+        scores = jnp.concatenate(
+            [jnp.where(own, scores[..., :B], -1e9), scores[..., B:]], axis=-1
+        )
+    probs = jax.nn.softmax(scores, -1)
+    out = jnp.einsum("nhits,nhisd->nhitd", probs, vs)
+    return out.reshape(N, H, T, D).astype(q.dtype)

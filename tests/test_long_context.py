@@ -1,0 +1,55 @@
+"""Long-context parameter interpolation + extended forward."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sea_tpu.models.long_context import extend_opt_context, _interp_rows
+from sea_tpu.models.opt import OptForCausalLM, OptConfig
+from tests.test_opt_kd import tiny_opt, make_batch
+
+
+def test_interp_rows_endpoints():
+    t = jnp.asarray(np.arange(8, dtype=np.float32)[:, None] * np.ones((8, 3), np.float32))
+    out = np.asarray(_interp_rows(t, 15))
+    assert out.shape == (15, 3)
+    np.testing.assert_allclose(out[0], t[0])
+    np.testing.assert_allclose(out[-1], t[-1])
+    assert (np.diff(out[:, 0]) >= 0).all()
+
+
+def test_extended_context_forward():
+    cfg = tiny_opt("perlin")
+    model = OptForCausalLM(cfg)
+    ids, mask = make_batch(N=1, T=16, vocab=cfg.vocab_size)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
+
+    new_max = cfg.max_position_embeddings * 2
+    new_params = extend_opt_context(variables["params"], new_max)
+    emb = new_params["model"]["embed_positions"]["embedding"]
+    assert emb.shape[0] == new_max + 2
+    # find v_eye tables
+    def find(tree, out):
+        for k, v in tree.items():
+            if k == "v_eye_learned_causal":
+                out.append(v)
+            elif isinstance(v, dict):
+                find(v, out)
+    eyes = []
+    find(new_params, eyes)
+    assert eyes and all(e.shape[2] == new_max for e in eyes)
+
+    # run at a longer sequence than the original window
+    cfg2 = dataclasses.replace(
+        cfg,
+        max_position_embeddings=new_max,
+        sea=dataclasses.replace(cfg.sea, max_position_embeddings=new_max),
+    )
+    model2 = OptForCausalLM(cfg2)
+    T2 = 96  # > original max_position 64
+    ids2, mask2 = make_batch(N=1, T=T2, vocab=cfg.vocab_size)
+    new_vars = {**variables, "params": new_params}
+    out = jax.jit(lambda v: model2.apply(v, ids2, mask2)["logits"])(new_vars)
+    assert np.isfinite(np.asarray(out)).all()
