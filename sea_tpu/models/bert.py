@@ -40,6 +40,11 @@ class BertConfig:
     num_labels: int = 2
     layer_norm_eps: float = 1e-12
     attention_method: str = "perlin"
+    # ToMe token merging around the FFN (reference perlin_bert.py:826-970)
+    token_merging: bool = False
+    token_merging_preserve_ratio: float = 0.5
+    token_merging_ratio: float = 0.5
+    token_merging_score_source: str = "key"  # 'key' | 'probs' 
     sea: SeaConfig = dataclasses.field(default_factory=SeaConfig)
 
     @property
@@ -115,13 +120,20 @@ class BertSelfAttention(nn.Module):
         k = self._heads(self.key(hidden_states))
         v = self._heads(self.value(hidden_states))
 
+        merge_sim = None
+        if c.token_merging:
+            if c.token_merging_score_source == "key":
+                merge_sim = jnp.einsum("nhtd,nhsd->nts", k, k) / c.num_heads
+            else:
+                raise NotImplementedError(c.token_merging_score_source)
+
         if c.attention_method == "none":
             scores = jnp.einsum("nhtd,nhsd->nhts", q, k) / math.sqrt(c.head_dim)
             scores = scores + attention_mask
             probs = softmax_fp32(scores, -1)
             ctx = jnp.einsum("nhts,nhsd->nhtd", probs, v)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
-            return ctx, None, LayerTeacherOutput(scores, ctx)
+            return ctx, None, LayerTeacherOutput(scores, ctx), merge_sim
 
         if c.attention_method == "performer":
             out = fast_attention(
@@ -133,13 +145,13 @@ class BertSelfAttention(nn.Module):
                 generalized=False,
             ).astype(hidden_states.dtype)
             ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
-            return ctx, None, None
+            return ctx, None, None, merge_sim
 
         if c.attention_method == "synthesizer":
             m = attention_mask > -1  # (N,1,1,T)
             ctx, _ = self.synthesizer(q, v, mask=m)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
-            return ctx, None, None
+            return ctx, None, None, merge_sim
 
         if c.attention_method == "cosformer":
             alive = jnp.swapaxes(attention_mask, -1, -2) > -1  # (N,1,T,1)
@@ -147,7 +159,7 @@ class BertSelfAttention(nn.Module):
                 hidden_states * alive[:, 0].astype(hidden_states.dtype), (1, 0, 2)
             )
             ctx = self.cosformer(h_seq)
-            return jnp.transpose(ctx, (1, 0, 2)), None, None
+            return jnp.transpose(ctx, (1, 0, 2)), None, None, merge_sim
 
         if c.attention_method == "reformer":
             from ..ops.baselines import reformer_lsh_attention
@@ -161,7 +173,7 @@ class BertSelfAttention(nn.Module):
                 causal=False, mask_1d=mask_1d,
             )
             ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
-            return ctx, None, None
+            return ctx, None, None, merge_sim
 
         if c.attention_method == "sinkhorn":
             from ..ops.baselines import sinkhorn_block_attention
@@ -174,7 +186,7 @@ class BertSelfAttention(nn.Module):
                 q, k, v, block_size=bs, mask_1d=mask_1d
             )
             ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
-            return ctx, None, None
+            return ctx, None, None, merge_sim
 
         assert c.attention_method == "perlin"
         out: SeaAttentionOutput = self.perlin(
@@ -186,7 +198,7 @@ class BertSelfAttention(nn.Module):
             training=training,
             rng=rng,
         )
-        return out.context_layer, out.loss, None
+        return out.context_layer, out.loss, None, merge_sim
 
 
 class BertLayer(nn.Module):
@@ -205,13 +217,28 @@ class BertLayer(nn.Module):
 
     def __call__(self, h, attention_mask, teacher=None, *, benchmarking=False,
                  training=False, rng=None):
-        ctx, aux, capture = self.attention(
+        ctx, aux, capture, merge_sim = self.attention(
             h, attention_mask, teacher,
             benchmarking=benchmarking, training=training, rng=rng,
         )
         h = self.attention_ln(h + self.attention_output(ctx))
-        ffn = self.output(nn.gelu(self.intermediate(h), approximate=False))
-        h = self.output_ln(h + ffn)
+        if self.cfg.token_merging and merge_sim is not None:
+            # reference wraps [merge -> FFN(+residual+LN) -> unmerge]
+            # (TokenMergingStart before intermediate, End after output)
+            from ..ops.tome import tome_merge, tome_unmerge
+
+            h_merged, tome_state = tome_merge(
+                h, merge_sim,
+                self.cfg.token_merging_preserve_ratio,
+                self.cfg.token_merging_ratio,
+            )
+            ffn = self.output(
+                nn.gelu(self.intermediate(h_merged), approximate=False)
+            )
+            h = tome_unmerge(self.output_ln(h_merged + ffn), tome_state)
+        else:
+            ffn = self.output(nn.gelu(self.intermediate(h), approximate=False))
+            h = self.output_ln(h + ffn)
         return h, aux, capture
 
 
