@@ -111,6 +111,22 @@ class OptAttention(nn.Module):
         self.out_proj = nn.Dense(c.hidden_size, name="out_proj")
         if c.attention_method == "perlin":
             self.perlin = SeaAttention(c.sea, name="perlin")
+            if c.sea.lora_enabled:
+                from .lora import LoraDelta
+
+                r = c.sea.lora_r
+                self.perlin_q_lora = LoraDelta(c.hidden_size, r, name="perlin_q_lora")
+                self.perlin_k_lora = LoraDelta(c.hidden_size, r, name="perlin_k_lora")
+                self.perlin_v_lora = LoraDelta(c.hidden_size, r, name="perlin_v_lora")
+            if c.sea.lora_in_approx_enabled:
+                from .lora import LoraDelta
+
+                r = c.sea.lora_r
+                self.perlin_q_atten_lora = LoraDelta(c.hidden_size, r, name="perlin_q_atten_lora")
+                self.perlin_k_atten_lora = LoraDelta(c.hidden_size, r, name="perlin_k_atten_lora")
+                self.perlin_v_atten_lora = LoraDelta(c.hidden_size, r, name="perlin_v_atten_lora")
+                self.perlin_q_score_lora = LoraDelta(c.hidden_size, r, name="perlin_q_score_lora")
+                self.perlin_k_score_lora = LoraDelta(c.hidden_size, r, name="perlin_k_score_lora")
         elif c.attention_method == "performer":
             self.performer_proj = self.variable(
                 "performer",
@@ -168,15 +184,30 @@ class OptAttention(nn.Module):
             return self.out_proj(ctx), None, None
 
         assert c.attention_method == "perlin", c.attention_method  # dispatch
+        # optional LoRA deltas: main q/k/v, plus separate estimator-branch
+        # projections (reference PerlinSelfAttention lora_in_approx,
+        # self_attention.py:95-175)
+        q_a, k_a, v_a, q_s, k_s = q, k, v, q, k
+        if c.sea.lora_enabled:
+            q = q + self._heads(self.perlin_q_lora(hidden_states) * scaling)
+            k = k + self._heads(self.perlin_k_lora(hidden_states))
+            v = v + self._heads(self.perlin_v_lora(hidden_states))
+            q_a, k_a, v_a, q_s, k_s = q, k, v, q, k
+        if c.sea.lora_in_approx_enabled:
+            q_a = q + self._heads(self.perlin_q_atten_lora(hidden_states) * scaling)
+            k_a = k + self._heads(self.perlin_k_atten_lora(hidden_states))
+            v_a = v + self._heads(self.perlin_v_atten_lora(hidden_states))
+            q_s = q + self._heads(self.perlin_q_score_lora(hidden_states) * scaling)
+            k_s = k + self._heads(self.perlin_k_score_lora(hidden_states))
         out: SeaAttentionOutput = self.perlin(  # noqa: F821
             q,
             k,
             v,
-            q,
-            k,
-            v,
-            q,
-            k,
+            q_a,
+            k_a,
+            v_a,
+            q_s,
+            k_s,
             causal_mask,
             attention_scores_truth=teacher.attention_scores if teacher else None,
             context_layer_truth=teacher.context_layer if teacher else None,
