@@ -9,6 +9,11 @@ production sparsity pattern; the timed region is the fused Pallas kernel
 (mask expansion + tile-skipped flash attention + row scaler) — the part the
 reference implements as 4 Triton kernels + interpolation.
 
+Timing methodology: the kernel is iterated inside one jitted fori_loop with
+a data dependency between iterations, then a single device-to-host read —
+through the remote axon runtime, per-call host timing measures only relay
+round-trips.
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = speedup over dense fp32 softmax attention of the same shape
 on the same chip (how the reference's own benchmark tables report).
@@ -22,21 +27,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+ITERS = 20
+
 
 def host_topk_mask(N, H, T, T_M, K, seed=0):
     """Per-row compressed mask with the reference budget schedule."""
     rng = np.random.default_rng(seed)
-    mask = np.zeros((N, H, T, T_M), np.float32)
     flat = np.zeros((N, T, H * T_M), np.float32)
     for r in range(T):
         budget = min(max(round(H * K * T_M / (r + 1)), 1), H * T_M)
         for n in range(N):
-            sel = rng.choice(H * T_M, size=budget, replace=False)
-            flat[n, r, sel] = 1.0
-    mask = np.transpose(
-        flat.reshape(N, T, H, T_M), (0, 2, 1, 3)
-    ).copy()
-    return mask
+            flat[n, r, rng.choice(H * T_M, size=budget, replace=False)] = 1.0
+    return np.transpose(flat.reshape(N, T, H, T_M), (0, 2, 1, 3)).copy()
 
 
 def main():
@@ -47,7 +49,7 @@ def main():
         N, H, T, D, T_M, K = 1, 4, 512, 64, 64, 16
 
     from sea_tpu.ops.kernels.block_sparse import (
-        element_mask_int8,
+        mask_nnz,
         sea_block_sparse_attention,
     )
 
@@ -61,37 +63,40 @@ def main():
     fpmin = float(np.finfo(np.float32).min) / 2
     causal = jnp.where(jnp.tril(jnp.ones((T, T))) > 0, 0.0, fpmin)[None, None]
 
-    sp = jax.jit(
+    def repeat(fn):
+        def wrapped(q, *args):
+            def body(i, c):
+                return c + 1e-30 * fn(c, *args)
+
+            return jax.lax.fori_loop(0, ITERS, body, q)
+
+        return jax.jit(wrapped)
+
+    sparse1 = repeat(
         lambda q, k, v, m, s: sea_block_sparse_attention(
             q, k, v, m, s, is_causal=True, interpret=not on_tpu
         )
     )
-
-    def dense(q, k, v):
-        s = jnp.einsum("nhtd,nhsd->nhts", q, k) + causal
-        return jnp.einsum("nhts,nhsd->nhtd", jax.nn.softmax(s, -1), v)
-
-    dn = jax.jit(dense)
-
-    out = sp(q, k, v, mask, scaler)
-    jax.block_until_ready(out)
-    dout = dn(q, k, v)
-    jax.block_until_ready(dout)
-
-    # realized nnz of the expanded element mask
-    nnz = int(
-        jnp.sum(element_mask_int8(mask, T, True).astype(jnp.int32))
+    noop = repeat(lambda q, *a: q)
+    dense1 = repeat(
+        lambda q, k, v: jnp.einsum(
+            "nhts,nhsd->nhtd",
+            jax.nn.softmax(jnp.einsum("nhtd,nhsd->nhts", q, k) + causal, -1),
+            v,
+        )
     )
 
-    def timeit(fn, *args, iters=20):
+    def timeit(fn, *args):
+        np.asarray(fn(*args)[0, 0, 0, 0])  # warmup/compile
         t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(*args)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / iters
+        np.asarray(fn(*args)[0, 0, 0, 0])
+        return time.perf_counter() - t0
 
-    t_sparse = timeit(sp, q, k, v, mask, scaler)
-    t_dense = timeit(dn, q, k, v)
+    t0 = timeit(noop, q, k, v, mask, scaler)
+    t_sparse = max((timeit(sparse1, q, k, v, mask, scaler) - t0) / ITERS, 1e-9)
+    t_dense = max((timeit(dense1, q, k, v) - t0) / ITERS, 1e-9)
+
+    nnz = int(mask_nnz(mask, T, True))
 
     result = {
         "metric": "sea_fused_sparse_attention_nnz_per_s",

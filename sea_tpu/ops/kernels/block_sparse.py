@@ -395,6 +395,17 @@ def active_tile_lists(
     return counts, idx
 
 
+def mask_nnz(mask_m: jnp.ndarray, t_src: int, is_causal: bool) -> jnp.ndarray:
+    """Realized element-mask nnz computed in the compressed domain:
+    sum over alive pixels of their run length (O(T*T_M), no expansion)."""
+    N, H, T_DST, T_M = mask_m.shape
+    rows = jnp.arange(T_DST, dtype=jnp.float32)
+    widths = rows + 1.0 if is_causal else jnp.full((T_DST,), float(t_src))
+    vs, ve = _pixel_starts(widths, T_M)
+    run = jnp.maximum(ve - vs, 0)  # (T_DST, T_M)
+    return jnp.sum((mask_m > 0) * run[None, None].astype(jnp.int32))
+
+
 def dense_reference(
     q, k, v, mask_m, row_scaler=None, *, is_causal=True
 ) -> jnp.ndarray:
