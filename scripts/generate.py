@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Autoregressive generation demo with the SEA decode cache — the analogue
+of reference `src/main/opt_generate.py` (HF generate + perlin cache).
+
+Usage: python scripts/generate.py [--model tiny] [--steps 32]
+With --model opt-125m and --checkpoint <dir>, generates from real weights.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="tiny")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--steps", type=int, default=32)
+    p.add_argument("--prompt-len", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=128)
+    args = p.parse_args()
+
+    from sea_tpu.models.opt import OptForCausalLM, opt_125m
+    from sea_tpu.training.opt_trainer import tiny_configs
+
+    if args.model == "tiny":
+        _, cfg = tiny_configs()
+    else:
+        cfg = opt_125m("perlin")
+    model = OptForCausalLM(cfg)
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (1, args.prompt_len)), jnp.int32
+    )
+    mask = jnp.ones_like(prompt)
+    variables = model.init(jax.random.key(0), prompt, mask)
+    if args.checkpoint:
+        from sea_tpu.models.loader import load_opt_params, student_from_teacher
+
+        teacher = load_opt_params(args.checkpoint, cfg)
+        variables = student_from_teacher(variables, teacher.get("params", teacher))
+
+    states = model.apply(
+        variables, 1, args.max_len,
+        method=lambda m, b, L: m.init_decode_states(b, L),
+    )
+    step = jax.jit(
+        lambda v, tok, pos, sts: model.apply(
+            v, tok, pos, sts, method=lambda m, a, b, c: m.decode_step(a, b, c)
+        )
+    )
+
+    tokens = [int(t) for t in np.asarray(prompt[0])]
+    # prefill through the decode path (exercises the stateful cache)
+    logits = None
+    for t in range(args.prompt_len):
+        logits, states = step(
+            variables, prompt[:, t : t + 1], jnp.int32(t), states
+        )
+    for i in range(args.steps):
+        nxt = int(np.asarray(logits[0, -1]).argmax())
+        tokens.append(nxt)
+        logits, states = step(
+            variables,
+            jnp.asarray([[nxt]], jnp.int32),
+            jnp.int32(args.prompt_len + i),
+            states,
+        )
+    print("generated token ids:", tokens)
+
+
+if __name__ == "__main__":
+    main()

@@ -177,6 +177,25 @@ def causal_linear_attention(
     return out
 
 
+def redraw_projections(variables, rng: jax.Array):
+    """Redraw every FAVOR+ random projection in a variables tree (the
+    reference ProjectionUpdater redraws each module's features every N
+    steps, `common/performer.py:5-37`; trainers call it post-step,
+    `opt_trainer.py:434-436`). Returns a new variables dict."""
+    if "performer" not in variables:
+        return variables
+
+    leaves, treedef = jax.tree_util.tree_flatten(variables["performer"])
+    keys = jax.random.split(rng, len(leaves))
+    new_leaves = [
+        gaussian_orthogonal_random_matrix(k, l.shape[0], l.shape[1])
+        for k, l in zip(keys, leaves)
+    ]
+    out = dict(variables)
+    out["performer"] = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return out
+
+
 def fast_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

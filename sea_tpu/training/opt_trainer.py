@@ -52,6 +52,9 @@ class TrainerConfig:
     seed: int = 42
     save_dir: str = "./saves/opt_trainer"
     use_remat: bool = True
+    # FAVOR+ projection redraw interval in optimizer steps (reference
+    # ProjectionUpdater every 1000 calls, attention.py:165-168)
+    projection_redraw_steps: int = 1000
 
 
 def tiny_configs() -> Tuple[OptConfig, OptConfig]:
@@ -212,6 +215,14 @@ class OptTrainer:
                 done += 1
                 if done % cfg.gradient_accumulation_steps == 0:
                     self.step += 1
+                    if (
+                        cfg.projection_redraw_steps > 0
+                        and self.step % cfg.projection_redraw_steps == 0
+                    ):
+                        from ..ops.performer import redraw_projections
+
+                        self.rng, r = jax.random.split(self.rng)
+                        self.s_extra = redraw_projections(self.s_extra, r)
                     if self.step % cfg.log_steps == 0:
                         rec = {k: float(v) for k, v in details.items()}
                         rec["steps_per_s"] = self.step / (time.time() - t0)
