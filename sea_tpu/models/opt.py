@@ -48,6 +48,10 @@ class OptConfig:
     do_layer_norm_before: bool = True
     dropout: float = 0.1
     attention_method: str = "perlin"  # 'none' | 'perlin' | 'performer'
+    # compile the layer stack as one lax.scan body with stacked params
+    # (12x smaller XLA graph; param trees convert with
+    # stack_layer_params/unstack_layer_params)
+    scan_layers: bool = False
     sea: SeaConfig = dataclasses.field(default_factory=SeaConfig)
 
     @property
@@ -305,6 +309,19 @@ class OptDecoderLayer(nn.Module):
         return h, new_state
 
 
+class _LayerScanBody(nn.Module):
+    """Scan body wrapping one decoder layer: (carry=h, broadcast=mask) ->
+    (h', aux). Used when cfg.scan_layers compiles the stack as one
+    lax.scan with layer-stacked params."""
+
+    cfg: OptConfig
+
+    @nn.compact
+    def __call__(self, carry, causal_mask):
+        h, aux, _ = OptDecoderLayer(self.cfg, name="layer")(carry, causal_mask)
+        return h, (aux if aux is not None else jnp.float32(0.0))
+
+
 class OptModel(nn.Module):
     """OPT decoder stack. Exposes `embed` / `layer` / `finalize` so the KD
     driver can interleave teacher and student layer-by-layer."""
@@ -318,9 +335,18 @@ class OptModel(nn.Module):
         self.embed_positions = nn.Embed(
             c.max_position_embeddings + 2, c.hidden_size, name="embed_positions"
         )
-        self.layers = [
-            OptDecoderLayer(c, name=f"layers_{i}") for i in range(c.num_layers)
-        ]
+        if c.scan_layers:
+            self.scanned_layers = nn.scan(
+                _LayerScanBody,
+                variable_axes={"params": 0, "performer": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=c.num_layers,
+            )(c, name="layers_scan")
+        else:
+            self.layers = [
+                OptDecoderLayer(c, name=f"layers_{i}") for i in range(c.num_layers)
+            ]
         if c.do_layer_norm_before:
             self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
 
@@ -351,6 +377,14 @@ class OptModel(nn.Module):
         output_hidden_states: bool = False,
     ):
         h, causal_mask = self.embed(input_ids, attention_mask_1d)
+        if self.cfg.scan_layers:
+            assert teacher_outputs is None and not output_hidden_states, (
+                "scan_layers path supports plain forward only; use the loop "
+                "path for KD/introspection"
+            )
+            h, aux_stack = self.scanned_layers(h, causal_mask)
+            h = self.finalize(h)
+            return h, None, [], jnp.mean(aux_stack)
         hidden_states = [h] if output_hidden_states else None
         captures = []
         aux_losses = []
@@ -445,6 +479,29 @@ class OptForCausalLM(nn.Module):
             "teacher_captures": captures,
             "aux_loss": aux_loss,
         }
+
+
+def stack_layer_params(params: dict, num_layers: int) -> dict:
+    """Convert loop-layout params (model/layers_{i}/...) to the scan layout
+    (model/layers_scan/layer/... stacked on axis 0)."""
+    model = dict(params["model"])
+    per_layer = [model.pop(f"layers_{i}") for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per_layer
+    )
+    model["layers_scan"] = {"layer": stacked}
+    return {**params, "model": model}
+
+
+def unstack_layer_params(params: dict, num_layers: int) -> dict:
+    """Inverse of `stack_layer_params`."""
+    model = dict(params["model"])
+    stacked = model.pop("layers_scan")["layer"]
+    for i in range(num_layers):
+        model[f"layers_{i}"] = jax.tree_util.tree_map(
+            lambda x, _i=i: x[_i], stacked
+        )
+    return {**params, "model": model}
 
 
 def cross_entropy_shifted(
