@@ -54,10 +54,11 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32) * 0.2)
-    k = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32) * 0.2)
-    v = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32))
-    scaler = jnp.asarray(rng.uniform(0.1, 1.0, (N, H, T)).astype(np.float32))
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    q = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32) * 0.2).astype(dt)
+    k = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32) * 0.2).astype(dt)
+    v = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32)).astype(dt)
+    scaler = jnp.asarray(rng.uniform(0.1, 1.0, (N, H, T)).astype(np.float32)).astype(dt)
     mask = jnp.asarray(host_topk_mask(N, H, T, T_M, K))
 
     fpmin = float(np.finfo(np.float32).min) / 2
@@ -81,7 +82,10 @@ def main():
     dense1 = repeat(
         lambda q, k, v: jnp.einsum(
             "nhts,nhsd->nhtd",
-            jax.nn.softmax(jnp.einsum("nhtd,nhsd->nhts", q, k) + causal, -1),
+            jax.nn.softmax(
+                jnp.einsum("nhtd,nhsd->nhts", q, k).astype(jnp.float32) + causal,
+                -1,
+            ).astype(q.dtype),
             v,
         )
     )

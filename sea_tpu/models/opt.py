@@ -52,6 +52,10 @@ class OptConfig:
     # (12x smaller XLA graph; param trees convert with
     # stack_layer_params/unstack_layer_params)
     scan_layers: bool = False
+    # activation dtype ('float32' | 'bfloat16'); params stay f32, losses and
+    # fp32 islands (performer, softmaxes) are unaffected — the AMP analogue
+    # of the reference's fp16 autocast (opt_trainer.py BF_16)
+    compute_dtype: str = "float32"
     sea: SeaConfig = dataclasses.field(default_factory=SeaConfig)
 
     @property
@@ -356,7 +360,7 @@ class OptModel(nn.Module):
         h = self.embed_tokens(input_ids)
         positions = jnp.cumsum(attention_mask_1d, axis=1) * attention_mask_1d - 1
         pos_emb = self.embed_positions((positions + 2).astype(jnp.int32))
-        h = h + pos_emb
+        h = (h + pos_emb).astype(jnp.dtype(c.compute_dtype))
         causal_mask = build_causal_mask(attention_mask_1d, T, h.dtype)
         return h, causal_mask
 

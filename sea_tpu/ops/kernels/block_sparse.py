@@ -235,18 +235,32 @@ def sea_block_sparse_attention(
     row_scaler: Optional[jnp.ndarray] = None,  # (N, H, T_DST) sigmoid scaler
     *,
     is_causal: bool = True,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused sparse attention: softmax(mask(q.k^T)) . v * scaler.
 
     Per-(row, head) softmax over alive columns only; rows with no alive
     column produce zeros (matching `flat_csr_softmax` zero-nnz behaviour).
-    """
+
+    Block sizes default to the largest of (512, 256, 128) dividing the
+    sequence — larger tiles amortise the VPU mask-expansion and grid-step
+    overheads (measured on v5e: 512/512 ~3.3x faster than 128/128 at
+    T=4096); shrink block_k for very concentrated masks to regain skipping
+    granularity."""
     N, H, T_DST, D = q.shape
     T_SRC = k.shape[2]
     T_M = mask_m.shape[-1]
+
+    def auto_block(t):
+        for b in (512, 256, 128):
+            if t % b == 0:
+                return b
+        return t
+
+    block_q = block_q or auto_block(T_DST)
+    block_k = block_k or auto_block(T_SRC)
     assert T_DST % block_q == 0 and T_SRC % block_k == 0
     n_words = (T_M + 31) // 32
 
