@@ -76,6 +76,7 @@ def tile_activity_lists(
     block_q: int,
     block_k: int,
     row_chunk: int = 512,
+    lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per (n, h, q-block): ascending list of active k-block indices from
     compressed-domain interval overlap (conservative superset: run bounds
@@ -86,6 +87,36 @@ def tile_activity_lists(
     N, H, T_DST, T_M = mask_m.shape
     NQ, NKB = T_DST // block_q, t_src // block_k
     m = mask_m > 0
+
+    if (not is_causal) and lengths is not None:
+        # padded bidirectional: per-example widths; sizes are small enough
+        # (BERT T<=512) to compute unchunked
+        j_ids = jnp.arange(NKB, dtype=jnp.int32)
+        w = lengths.astype(jnp.float32)[:, None]  # (N, 1)
+        b = jnp.arange(T_M + 1, dtype=jnp.float32)[None, :]
+        bounds = jnp.ceil((b + 1e-4) * w / T_M - 0.5).astype(jnp.int32)
+        bounds = jnp.clip(bounds, 0, lengths[:, None].astype(jnp.int32))
+        vs_n, ve_n = bounds[:, :-1], bounds[:, 1:]  # (N, T_M)
+        lo = jnp.maximum(vs_n - 1, 0) // block_k
+        hi = jnp.minimum(ve_n, lengths[:, None].astype(jnp.int32) - 1) // block_k
+        ne = ve_n > vs_n
+        inside = (
+            (j_ids[None, None, :] >= lo[:, :, None])
+            & (j_ids[None, None, :] <= hi[:, :, None])
+            & ne[:, :, None]
+        )  # (N, T_M, NKB)
+        act = jnp.einsum(
+            "nhrb,nbj->nhrj", m.astype(jnp.float32), inside.astype(jnp.float32)
+        ) > 0  # (N, H, T_DST, NKB)
+        act = act.reshape(N, H, NQ, block_q, NKB).any(axis=3)
+        counts = act.sum(-1).astype(jnp.int32)
+        order = jnp.argsort(jnp.where(act, 0, 1), axis=-1, stable=True)
+        ar = jnp.arange(NKB, dtype=jnp.int32)
+        within = ar[None, None, None, :] < jnp.maximum(counts[..., None], 1)
+        idx = jnp.where(within, order, 0).astype(jnp.int32)
+        last = jnp.take_along_axis(idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1)
+        idx = jnp.where(within, idx, last)
+        return counts, idx
 
     rows = jnp.arange(T_DST, dtype=jnp.float32)
     widths = rows + 1.0 if is_causal else jnp.full((T_DST,), float(t_src))
@@ -143,6 +174,7 @@ def tile_activity_lists(
 def _kernel(
     counts_ref,  # scalar prefetch: (NH, NQ)
     idx_ref,  # scalar prefetch: (NH, NQ, NKB)
+    lengths_ref,  # scalar prefetch: (NH,) per-(batch,head) token length
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
@@ -187,7 +219,10 @@ def _kernel(
         if is_causal:
             width = (r_glob + 1).astype(jnp.float32)
         else:
-            width = jnp.full((BQ, BK), float(t_src), jnp.float32)
+            # padding-aware width: the dense resize maps columns through the
+            # cumsum index, which for contiguous-left padding equals the
+            # per-example token length (reference resize_m_to_t.py:36-52)
+            width = jnp.full((BQ, BK), 1.0, jnp.float32) * lengths_ref[h].astype(jnp.float32)
         u = (s_glob.astype(jnp.float32) + 0.5) / width * t_m - 1e-4
         pix = jnp.clip(u.astype(jnp.int32), 0, t_m - 1)  # floor for u >= 0
 
@@ -202,7 +237,7 @@ def _kernel(
         if is_causal:
             alive = alive & (s_glob <= r_glob)
         else:
-            alive = alive & (s_glob < t_src)
+            alive = alive & (s_glob < lengths_ref[h])
 
         s = jnp.where(alive, s, NEG_INF)
         m_prev = m_scr[:, 0:1]  # (BQ,1)
@@ -235,6 +270,7 @@ def sea_block_sparse_attention(
     row_scaler: Optional[jnp.ndarray] = None,  # (N, H, T_DST) sigmoid scaler
     *,
     is_causal: bool = True,
+    lengths: Optional[jnp.ndarray] = None,  # (N,) token lengths (non-causal)
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
@@ -266,8 +302,11 @@ def sea_block_sparse_attention(
 
     mbits = pack_compressed_bits(mask_m)  # (N, H, T, T_M//32)
     counts, idx = tile_activity_lists(
-        mask_m, T_SRC, is_causal, block_q, block_k
+        mask_m, T_SRC, is_causal, block_q, block_k, lengths=lengths
     )
+    if lengths is None:
+        lengths = jnp.full((N,), T_SRC, jnp.int32)
+    lengthsf = jnp.broadcast_to(lengths[:, None], (N, H)).reshape(N * H).astype(jnp.int32)
 
     NH = N * H
     NQ = T_DST // block_q
@@ -295,23 +334,23 @@ def sea_block_sparse_attention(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(NH, NQ, NKB),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, L: (h, i, 0)),
             pl.BlockSpec(
-                (1, block_k, D), lambda h, i, j, c, x: (h, x[h, i, j], 0)
+                (1, block_k, D), lambda h, i, j, c, x, L: (h, x[h, i, j], 0)
             ),
             pl.BlockSpec(
-                (1, block_k, D), lambda h, i, j, c, x: (h, x[h, i, j], 0)
+                (1, block_k, D), lambda h, i, j, c, x, L: (h, x[h, i, j], 0)
             ),
             pl.BlockSpec(
-                (1, block_q, n_words), lambda h, i, j, c, x: (h, i, 0)
+                (1, block_q, n_words), lambda h, i, j, c, x, L: (h, i, 0)
             ),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, L: (h, i, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda h, i, j, c, x: (h, i, 0)
+            (1, block_q, D), lambda h, i, j, c, x, L: (h, i, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -328,7 +367,7 @@ def sea_block_sparse_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(countsf, idxf, qf, kf, vf, mbitsf, scalerf)
+    )(countsf, idxf, lengthsf, qf, kf, vf, mbitsf, scalerf)
     return out.reshape(N, H, T_DST, D)
 
 
@@ -421,7 +460,7 @@ def mask_nnz(mask_m: jnp.ndarray, t_src: int, is_causal: bool) -> jnp.ndarray:
 
 
 def dense_reference(
-    q, k, v, mask_m, row_scaler=None, *, is_causal=True
+    q, k, v, mask_m, row_scaler=None, *, is_causal=True, lengths=None
 ) -> jnp.ndarray:
     """jnp oracle with identical semantics (dense-resize mask + per-row
     softmax + scaler), for kernel tests."""
@@ -431,16 +470,24 @@ def dense_reference(
     s_idx = jnp.arange(T_SRC, dtype=jnp.float32)[None, :]
     r_idx = jnp.arange(T_DST, dtype=jnp.int32)[:, None]
     if is_causal:
-        w = (r_idx + 1).astype(jnp.float32)
+        w = (r_idx + 1).astype(jnp.float32)[None]
+    elif lengths is not None:
+        w = jnp.broadcast_to(
+            lengths.astype(jnp.float32)[:, None, None], (N, T_DST, 1)
+        )
     else:
-        w = jnp.full((T_DST, 1), float(T_SRC), jnp.float32)
-    pixel = jnp.floor((s_idx + 0.5) / w * T_M - 1e-4).astype(jnp.int32)
-    pixel = jnp.clip(pixel, 0, T_M - 1)  # (T_DST, T_SRC)
-    alive = jnp.take_along_axis(
-        (mask_m > 0), jnp.broadcast_to(pixel, (N, H, T_DST, T_SRC)), axis=-1
-    )
+        w = jnp.full((1, T_DST, 1), float(T_SRC), jnp.float32)
+    pixel = jnp.floor((s_idx[None] + 0.5) / w * T_M - 1e-4).astype(jnp.int32)
+    pixel = jnp.clip(pixel, 0, T_M - 1)  # (N?, T_DST, T_SRC)
+    pixel = jnp.broadcast_to(pixel[:, None], (N, H, T_DST, T_SRC)) \
+        if pixel.shape[0] == N else jnp.broadcast_to(pixel[None], (N, H, T_DST, T_SRC))
+    alive = jnp.take_along_axis((mask_m > 0), pixel, axis=-1)
     if is_causal:
         alive = alive & (s_idx[None, None] <= r_idx[None, None].astype(jnp.float32))
+    elif lengths is not None:
+        alive = alive & (
+            s_idx[None, None] < lengths.astype(jnp.float32)[:, None, None, None]
+        )
     scores = jnp.einsum("nhtd,nhsd->nhts", q, k).astype(jnp.float32)
     scores = jnp.where(alive, scores, NEG_INF)
     m = jnp.max(scores, -1, keepdims=True)

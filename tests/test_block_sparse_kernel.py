@@ -112,6 +112,22 @@ def test_pack_compressed_bits_roundtrip():
         np.testing.assert_array_equal(got, mask[..., b].astype(np.uint32))
 
 
+def test_kernel_padded_noncausal_matches_oracle():
+    """Per-example token lengths (BERT padding) drive the pixel mapping."""
+    q, k, v, mask, scaler = make_case(
+        seed=9, N=2, T=256, T_M=32, density=0.3, causal=False
+    )
+    lengths = jnp.asarray([160, 256], jnp.int32)
+    got = sea_block_sparse_attention(
+        q, k, v, mask, scaler, is_causal=False, lengths=lengths,
+        block_q=64, block_k=64, interpret=True,
+    )
+    want = dense_reference(
+        q, k, v, mask, scaler, is_causal=False, lengths=lengths
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_kernel_empty_rows_zero():
     """Rows whose compressed mask is fully dead must output zeros."""
     q, k, v, mask, scaler = make_case(T=128, T_M=16, density=0.3)
