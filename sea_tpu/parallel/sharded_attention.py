@@ -103,7 +103,6 @@ def sharded_sea_attention(
 
     out = shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
-        check_rep=False,
     )(qp, k, v, maskp, scalerp, rows_b)
 
     if inv is not None:
