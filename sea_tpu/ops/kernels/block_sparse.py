@@ -77,6 +77,7 @@ def tile_activity_lists(
     block_k: int,
     row_chunk: int = 512,
     lengths: Optional[jnp.ndarray] = None,
+    row_widths: Optional[jnp.ndarray] = None,  # (T_DST,) causal widths override
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per (n, h, q-block): ascending list of active k-block indices from
     compressed-domain interval overlap (conservative superset: run bounds
@@ -119,7 +120,12 @@ def tile_activity_lists(
         return counts, idx
 
     rows = jnp.arange(T_DST, dtype=jnp.float32)
-    widths = rows + 1.0 if is_causal else jnp.full((T_DST,), float(t_src))
+    if row_widths is not None:
+        widths = row_widths.astype(jnp.float32)
+    elif is_causal:
+        widths = rows + 1.0
+    else:
+        widths = jnp.full((T_DST,), float(t_src))
     vs, ve = _pixel_starts(widths, T_M)  # (T_DST, T_M)
     lo_blk = jnp.maximum(vs - 1, 0) // block_k  # (T_DST, T_M)
     hi_blk = jnp.minimum(ve, widths.astype(jnp.int32)[:, None] - 1) // block_k
@@ -175,6 +181,7 @@ def _kernel(
     counts_ref,  # scalar prefetch: (NH, NQ)
     idx_ref,  # scalar prefetch: (NH, NQ, NKB)
     lengths_ref,  # scalar prefetch: (NH,) per-(batch,head) token length
+    rowbase_ref,  # scalar prefetch: (NH, NQ) global base row id per q-block
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
@@ -213,7 +220,8 @@ def _kernel(
         bk = idx_ref[h, q_blk, j]
         BQ, BK = block_q, block_k
         r_glob = (
-            q_blk * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+            rowbase_ref[h, q_blk]
+            + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
         )
         s_glob = bk * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         if is_causal:
@@ -271,6 +279,7 @@ def sea_block_sparse_attention(
     *,
     is_causal: bool = True,
     lengths: Optional[jnp.ndarray] = None,  # (N,) token lengths (non-causal)
+    row_base: Optional[jnp.ndarray] = None,  # (NQ,) global base row per block
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
@@ -301,12 +310,23 @@ def sea_block_sparse_attention(
     n_words = (T_M + 31) // 32
 
     mbits = pack_compressed_bits(mask_m)  # (N, H, T, T_M//32)
+    row_widths = None
+    if row_base is not None and is_causal:
+        rw = row_base[:, None] + jnp.arange(block_q, dtype=jnp.int32)[None, :]
+        row_widths = (rw + 1).reshape(-1).astype(jnp.float32)
     counts, idx = tile_activity_lists(
-        mask_m, T_SRC, is_causal, block_q, block_k, lengths=lengths
+        mask_m, T_SRC, is_causal, block_q, block_k, lengths=lengths,
+        row_widths=row_widths,
     )
     if lengths is None:
         lengths = jnp.full((N,), T_SRC, jnp.int32)
     lengthsf = jnp.broadcast_to(lengths[:, None], (N, H)).reshape(N * H).astype(jnp.int32)
+    NQ_ = T_DST // block_q
+    if row_base is None:
+        row_base = jnp.arange(NQ_, dtype=jnp.int32) * block_q
+    rowbasef = jnp.broadcast_to(
+        row_base[None, :], (N * H, NQ_)
+    ).astype(jnp.int32)
 
     NH = N * H
     NQ = T_DST // block_q
@@ -334,23 +354,23 @@ def sea_block_sparse_attention(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(NH, NQ, NKB),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, L: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, L, rb: (h, i, 0)),
             pl.BlockSpec(
-                (1, block_k, D), lambda h, i, j, c, x, L: (h, x[h, i, j], 0)
+                (1, block_k, D), lambda h, i, j, c, x, L, rb: (h, x[h, i, j], 0)
             ),
             pl.BlockSpec(
-                (1, block_k, D), lambda h, i, j, c, x, L: (h, x[h, i, j], 0)
+                (1, block_k, D), lambda h, i, j, c, x, L, rb: (h, x[h, i, j], 0)
             ),
             pl.BlockSpec(
-                (1, block_q, n_words), lambda h, i, j, c, x, L: (h, i, 0)
+                (1, block_q, n_words), lambda h, i, j, c, x, L, rb: (h, i, 0)
             ),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, L: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, L, rb: (h, i, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda h, i, j, c, x, L: (h, i, 0)
+            (1, block_q, D), lambda h, i, j, c, x, L, rb: (h, i, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -367,7 +387,7 @@ def sea_block_sparse_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(countsf, idxf, lengthsf, qf, kf, vf, mbitsf, scalerf)
+    )(countsf, idxf, lengthsf, rowbasef, qf, kf, vf, mbitsf, scalerf)
     return out.reshape(N, H, T_DST, D)
 
 

@@ -53,6 +53,7 @@ def sharded_sea_attention(
     axis: str = "sp",
     is_causal: bool = True,
     zigzag: bool = True,
+    use_kernel: bool = True,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
@@ -95,7 +96,15 @@ def sharded_sea_attention(
 
     def shard_fn(q_l, k_full, v_full, mask_l, scaler_l, rows_l):
         # rows within a shard are blocked contiguous groups of bq rows
-        # (zigzag permutes whole blocks), so per-row widths are rows_l+1.
+        # (zigzag permutes whole blocks); the fused kernel consumes the
+        # global base row of each local q-block for its causal width math.
+        if use_kernel:
+            row_base = rows_l[0, 0, ::bq]  # (TL/bq,)
+            return sea_block_sparse_attention(
+                q_l, k_full, v_full, mask_l, scaler_l,
+                is_causal=is_causal, row_base=row_base,
+                block_q=bq, block_k=block_k, interpret=interpret,
+            )
         return _masked_rowwise_attention(
             q_l, k_full, v_full, mask_l, scaler_l, rows_l,
             is_causal=is_causal, interpret=interpret,
@@ -103,6 +112,7 @@ def sharded_sea_attention(
 
     out = shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+        check_vma=False,  # pallas_call out_shape carries no vma metadata
     )(qp, k, v, maskp, scalerp, rows_b)
 
     if inv is not None:

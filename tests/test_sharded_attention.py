@@ -28,12 +28,14 @@ def test_zigzag_perm_is_permutation():
 
 
 @pytest.mark.parametrize("zigzag", [False, True])
-def test_sharded_matches_oracle(zigzag):
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_sharded_matches_oracle(zigzag, use_kernel):
     q, k, v, mask, scaler = make_case()
     mesh = make_mesh(dp=2, sp=4)
     got = jax.jit(
         lambda *a: sharded_sea_attention(
-            *a, mesh=mesh, is_causal=True, zigzag=zigzag, interpret=True
+            *a, mesh=mesh, is_causal=True, zigzag=zigzag,
+            use_kernel=use_kernel, block_q=64, block_k=64, interpret=True,
         )
     )(q, k, v, mask, scaler)
     want = dense_reference(q, k, v, mask, scaler, is_causal=True)
