@@ -113,6 +113,10 @@ class SeaAttention(nn.Module):
         # predictor encoder: Linear(3D -> 2D) + LN + GELU (attention.py:190-196)
         self.enc_dense = nn.Dense(D * 2, name="enc_dense")
         self.enc_ln = nn.LayerNorm(name="enc_ln")
+        if cfg.enc_per_layer:
+            # per-layer variant over concatenated heads (attention.py:185-189)
+            self.enc_per_layer_dense = nn.Dense(D * 2 * H, name="enc_per_layer_dense")
+            self.enc_per_layer_ln = nn.LayerNorm(name="enc_per_layer_ln")
 
         # decoder row projector (attention.py:200-245)
         splits = cfg.splits
@@ -290,9 +294,23 @@ class SeaAttention(nn.Module):
                 if s > 1:
                     assert T_DST % s == 0
                     t_enc_x = t_enc_x[:, :, ::s, :]
-                t_attention_predictor = nn.gelu(
-                    self.enc_ln(self.enc_dense(t_enc_x)), approximate=False
-                )
+                if cfg.enc_per_layer:
+                    # (N,H,T,3D) -> (N,T,H*3D) -> enc -> back per-head
+                    _N, _H, _T, _D3 = t_enc_x.shape
+                    flat = jnp.transpose(t_enc_x, (0, 2, 1, 3)).reshape(
+                        _N, _T, _H * _D3
+                    )
+                    enc = nn.gelu(
+                        self.enc_per_layer_ln(self.enc_per_layer_dense(flat)),
+                        approximate=False,
+                    )
+                    t_attention_predictor = jnp.transpose(
+                        enc.reshape(_N, _T, _H, -1), (0, 2, 1, 3)
+                    )
+                else:
+                    t_attention_predictor = nn.gelu(
+                        self.enc_ln(self.enc_dense(t_enc_x)), approximate=False
+                    )
                 estimated_attention_score = self.dec_row(t_attention_predictor)
                 # (N,H,T',out_ch) as NCHW -> ChannelSplit -> CNN
                 estimated_attention_score = self.channel_split(

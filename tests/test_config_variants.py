@@ -45,3 +45,13 @@ def test_k_oversample_undersamples():
     inputs = make_inputs(cfg, N=1, T=32)
     params, out = init_and_run(cfg, benchmarking=False, inputs=inputs)
     assert np.isfinite(np.asarray(out.context_layer)).all()
+
+
+def test_enc_per_layer_variant():
+    cfg = small_cfg(causal=True, enc_per_layer=True)
+    inputs = make_inputs(cfg, N=1, T=32)
+    params, out = init_and_run(cfg, benchmarking=False, inputs=inputs)
+    assert np.isfinite(np.asarray(out.context_layer)).all()
+    flat = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    names = ["/".join(str(getattr(x, "key", x)) for x in p) for p, _ in flat]
+    assert any("enc_per_layer_dense" in n for n in names)
