@@ -55,6 +55,10 @@ class TrainerConfig:
     # FAVOR+ projection redraw interval in optimizer steps (reference
     # ProjectionUpdater every 1000 calls, attention.py:165-168)
     projection_redraw_steps: int = 1000
+    # offline mode: CE-pretrain the (randomly initialised) teacher for this
+    # many steps before distilling, standing in for the reference's
+    # HF-hub finetuned teachers (Aalaa/opt-125m-wikitext2)
+    pretrain_teacher_steps: int = 0
 
 
 def tiny_configs() -> Tuple[OptConfig, OptConfig]:
@@ -101,6 +105,21 @@ class OptTrainer:
             teacher_params = load_opt_params(cfg.teacher_checkpoint, self.t_cfg)
             self.t_vars = {**self.t_vars, "params": teacher_params["params"]
                            if "params" in teacher_params else teacher_params}
+        self.corpus = get_corpus(
+            cfg.max_seq_len, cfg.stride, "train",
+            vocab_size=self.s_cfg.vocab_size,
+        )
+        self.eval_corpus = get_corpus(
+            cfg.max_seq_len, cfg.stride, "test",
+            vocab_size=self.s_cfg.vocab_size,
+        )
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        self.metrics_path = os.path.join(cfg.save_dir, "metrics.jsonl")
+        self.step = 0
+
+        self._teacher_step = jax.jit(self._teacher_step_impl)
+        if cfg.pretrain_teacher_steps > 0:
+            self.pretrain_teacher(cfg.pretrain_teacher_steps)
         # student bootstrap: teacher weights for shared modules
         s_vars = student_from_teacher(s_vars, self.t_vars["params"])
         self.s_params = s_vars["params"]
@@ -112,20 +131,8 @@ class OptTrainer:
         )
         self.tx = optax.MultiSteps(base_tx, cfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.s_params)
-        self.step = 0
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
-
-        self.corpus = get_corpus(
-            cfg.max_seq_len, cfg.stride, "train",
-            vocab_size=self.s_cfg.vocab_size,
-        )
-        self.eval_corpus = get_corpus(
-            cfg.max_seq_len, cfg.stride, "test",
-            vocab_size=self.s_cfg.vocab_size,
-        )
-        os.makedirs(cfg.save_dir, exist_ok=True)
-        self.metrics_path = os.path.join(cfg.save_dir, "metrics.jsonl")
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, s_params, opt_state, t_vars, ids, mask, labels, rng):
@@ -141,6 +148,38 @@ class OptTrainer:
         updates, opt_state = self.tx.update(grads, opt_state, s_params)
         s_params = optax.apply_updates(s_params, updates)
         return s_params, opt_state, loss, details
+
+    def _teacher_step_impl(self, t_params, opt_state, ids, mask, labels):
+        def loss_fn(p):
+            tv = {k: v for k, v in self.t_vars.items() if k != "params"}
+            tv["params"] = p
+            out = self.kd.teacher.apply(tv, ids, mask, labels=labels)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(t_params)
+        updates, opt_state = self._teacher_tx.update(grads, opt_state, t_params)
+        return optax.apply_updates(t_params, updates), opt_state, loss
+
+    def pretrain_teacher(self, steps: int):
+        """CE-train the dense teacher on the corpus (reference obtains its
+        teachers pre-finetuned from the HF hub)."""
+        self._teacher_tx = optax.adamw(3e-4, weight_decay=1e-2)
+        t_params = self.t_vars["params"]
+        opt_state = self._teacher_tx.init(t_params)
+        done = 0
+        while done < steps:
+            for ids, mask, labels in self.corpus.batches(
+                self.cfg.batch_size, shuffle=True, seed=self.cfg.seed + 1000 + done
+            ):
+                t_params, opt_state, loss = self._teacher_step(
+                    t_params, opt_state,
+                    jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels),
+                )
+                done += 1
+                if done >= steps:
+                    break
+        self.t_vars = {**self.t_vars, "params": t_params}
+        self.log({"teacher_pretrain_loss": float(loss), "teacher_steps": steps})
 
     def _eval_step_impl(self, s_params, ids, mask, labels):
         sv = dict(self.s_extra)
