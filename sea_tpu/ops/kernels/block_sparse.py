@@ -211,11 +211,12 @@ def _kernel(
 
     @pl.when(j < count)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-        k = k_ref[0].astype(jnp.float32)  # (BK, D)
+        # native-dtype operands with f32 accumulation: bf16 inputs hit the
+        # fast MXU path instead of being upcast to f32 first
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK) f32
 
         bk = idx_ref[h, q_blk, j]
         BQ, BK = block_q, block_k
@@ -254,8 +255,8 @@ def _kernel(
         corr = jnp.exp(m_prev - m_cur)  # (BQ,1)
         l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            p,
-            v_ref[0].astype(jnp.float32),
+            p.astype(v_ref.dtype),  # probs in io dtype -> fast MXU for bf16
+            v_ref[0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
