@@ -56,6 +56,9 @@ class OptConfig:
     # fp32 islands (performer, softmaxes) are unaffected — the AMP analogue
     # of the reference's fp16 autocast (opt_trainer.py BF_16)
     compute_dtype: str = "float32"
+    # build only embeddings/finalize/lm-head; the layer stack lives outside
+    # (used by the scanned teacher/student KD pair in training/distill.py)
+    external_layers: bool = False
     sea: SeaConfig = dataclasses.field(default_factory=SeaConfig)
 
     @property
@@ -339,7 +342,9 @@ class OptModel(nn.Module):
         self.embed_positions = nn.Embed(
             c.max_position_embeddings + 2, c.hidden_size, name="embed_positions"
         )
-        if c.scan_layers:
+        if c.external_layers:
+            self.layers = []
+        elif c.scan_layers:
             self.scanned_layers = nn.scan(
                 _LayerScanBody,
                 variable_axes={"params": 0, "performer": 0},

@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 from ..models.opt import (
     LayerTeacherOutput,
@@ -30,6 +31,169 @@ from ..models.opt import (
     OptForCausalLM,
     cross_entropy_shifted,
 )
+
+
+class _KDPairScanBody(nn.Module):
+    """Scan body running (teacher layer i, student layer i) as one step —
+    stacked-parameter lax.scan over the pair, so the KD train step compiles
+    ONE layer-pair body instead of num_layers inlined copies."""
+
+    t_cfg: OptConfig
+    s_cfg: OptConfig
+
+    @nn.compact
+    def __call__(self, carry, causal_mask):
+        from ..models.opt import OptDecoderLayer
+
+        h_t, h_s = carry
+        h_t2, _, cap = OptDecoderLayer(self.t_cfg, name="teacher")(
+            h_t, causal_mask
+        )
+        h_t2 = jax.lax.stop_gradient(h_t2)
+        cap = jax.tree_util.tree_map(jax.lax.stop_gradient, cap)
+        h_s2, aux, _ = OptDecoderLayer(self.s_cfg, name="student")(
+            h_s, causal_mask, cap, training=True
+        )
+        mse = jnp.mean(
+            (h_t2.astype(jnp.float32) - h_s2.astype(jnp.float32)) ** 2
+        )
+        aux = aux if aux is not None else jnp.float32(0.0)
+        return (h_t2, h_s2), (aux, mse)
+
+
+class SeaOptKDScan:
+    """Scanned variant of SeaOptKD: the teacher/student layer pair is one
+    nn.scan body with layer-stacked params (see ROADMAP: KD compile time).
+
+    The combined param tree is
+      {teacher: <embeds/final>, student: <embeds/final>,
+       pairs: {teacher: <stacked layers>, student: <stacked layers>}}
+    built from the per-model trees with `combine_params`. Teacher gradients
+    are structurally zero (stop_gradient), so optimizing the whole tree
+    with the teacher subtrees frozen is equivalent to the loop variant."""
+
+    def __init__(self, teacher_cfg: OptConfig, student_cfg: OptConfig):
+        import dataclasses
+
+        from ..models.opt import OptForCausalLM
+
+        assert teacher_cfg.attention_method == "none"
+        self.t_cfg = teacher_cfg
+        self.s_cfg = student_cfg
+        self.n_layers = teacher_cfg.num_layers
+        t_shell = dataclasses.replace(teacher_cfg, external_layers=True)
+        s_shell = dataclasses.replace(student_cfg, external_layers=True)
+        self.teacher_shell = OptForCausalLM(t_shell)
+        self.student_shell = OptForCausalLM(s_shell)
+        self.pair_scan = nn.scan(
+            nn.remat(_KDPairScanBody, prevent_cse=False),
+            variable_axes={"params": 0, "performer": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=self.n_layers,
+        )(teacher_cfg, student_cfg)
+
+    @staticmethod
+    def combine_params(t_vars, s_vars, num_layers: int):
+        """Build the combined variables dict from loop-layout teacher and
+        student variable trees."""
+
+        def split(tree):
+            model = dict(tree["model"])
+            layers = [model.pop(f"layers_{i}") for i in range(num_layers)]
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=0), *layers
+            )
+            return {"model": model}, stacked
+
+        out = {}
+        for coll in set(t_vars) | set(s_vars):
+            t_c = t_vars.get(coll)
+            s_c = s_vars.get(coll)
+            entry = {}
+            pairs = {}
+            if t_c is not None and "model" in t_c:
+                shell, stacked = split(t_c)
+                entry["teacher"] = shell
+                pairs["teacher"] = stacked
+            if s_c is not None and "model" in s_c:
+                shell, stacked = split(s_c)
+                entry["student"] = shell
+                pairs["student"] = stacked
+            if pairs:
+                entry["pairs"] = pairs
+            out[coll] = entry
+        return out
+
+    def kd_loss(
+        self,
+        combined_vars,
+        input_ids: jnp.ndarray,
+        attention_mask_1d: jnp.ndarray,
+        labels: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+    ):
+        def pick(coll_key, who):
+            return {
+                c: v[who]
+                for c, v in combined_vars.items()
+                if isinstance(v, dict) and who in v
+            }
+
+        t_shell_vars = pick(None, "teacher")
+        s_shell_vars = pick(None, "student")
+        pair_vars = {
+            c: v["pairs"] for c, v in combined_vars.items()
+            if isinstance(v, dict) and "pairs" in v
+        }
+
+        h_t, causal_mask = self.teacher_shell.apply(
+            t_shell_vars, input_ids, attention_mask_1d,
+            method=lambda m, i, a: m.model.embed(i, a),
+        )
+        h_s, _ = self.student_shell.apply(
+            s_shell_vars, input_ids, attention_mask_1d,
+            method=lambda m, i, a: m.model.embed(i, a),
+        )
+        h_t = jax.lax.stop_gradient(h_t)
+
+        loss_hidden0 = jnp.mean(
+            (h_t.astype(jnp.float32) - h_s.astype(jnp.float32)) ** 2
+        )
+        (h_t, h_s), (aux_stack, mse_stack) = self.pair_scan.apply(
+            pair_vars, (h_t, h_s), causal_mask
+        )
+        loss_hidden = (loss_hidden0 + jnp.sum(mse_stack)) / (self.n_layers + 1) * 5.0
+        loss_special = jnp.mean(aux_stack)
+
+        logits_t = jax.lax.stop_gradient(
+            self.teacher_shell.apply(
+                t_shell_vars, h_t,
+                method=lambda m, x: m.logits(m.model.finalize(x)),
+            )
+        )
+        logits_s = self.student_shell.apply(
+            s_shell_vars, h_s,
+            method=lambda m, x: m.logits(m.model.finalize(x)),
+        )
+        task_loss = cross_entropy_shifted(logits_s, labels)
+        lt = logits_t.reshape(-1, logits_t.shape[-1]).astype(jnp.float32)
+        ls = logits_s.reshape(-1, logits_s.shape[-1]).astype(jnp.float32)
+        target = jax.nn.softmax(lt, -1)
+        log_input = jax.nn.log_softmax(ls, -1)
+        loss_logit_kl = (
+            (target * (jnp.log(target + 1e-12) - log_input)).sum()
+            / lt.shape[0] * 0.2
+        )
+        loss = 0.1 * task_loss + loss_hidden + loss_logit_kl + loss_special
+        return loss, {
+            "loss": loss,
+            "loss_model": 0.1 * task_loss,
+            "loss_kd_hidden": loss_hidden,
+            "loss_kd_logit": loss_logit_kl,
+            "loss_sp": loss_special,
+            "student_task_loss": task_loss,
+        }
 
 
 class SeaBertKD:

@@ -1,0 +1,59 @@
+"""Scanned KD pair must reproduce the loop KD loss exactly (rng-free path)
+and produce gradients only in the student subtree."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sea_tpu.training.distill import SeaOptKD, SeaOptKDScan
+from tests.test_opt_kd import tiny_opt, make_batch
+
+
+def test_scan_kd_matches_loop_kd():
+    t_cfg = tiny_opt("none")
+    s_cfg = tiny_opt("perlin")
+    ids, mask = make_batch(N=2, T=16, vocab=t_cfg.vocab_size)
+
+    kd = SeaOptKD(t_cfg, s_cfg)
+    t_vars = jax.jit(lambda: kd.teacher.init(jax.random.key(0), ids, mask))()
+    s_vars = jax.jit(lambda: kd.student.init(jax.random.key(1), ids, mask))()
+    loss_loop, det_loop = jax.jit(
+        lambda tv, sv: kd.kd_loss(tv, sv, ids, mask, ids, use_remat=False)
+    )(t_vars, s_vars)
+
+    kds = SeaOptKDScan(t_cfg, s_cfg)
+    combined = SeaOptKDScan.combine_params(t_vars, s_vars, t_cfg.num_layers)
+    loss_scan, det_scan = jax.jit(
+        lambda cv: kds.kd_loss(cv, ids, mask, ids)
+    )(combined)
+
+    np.testing.assert_allclose(
+        float(loss_loop), float(loss_scan), rtol=1e-5
+    )
+    for k_ in det_loop:
+        np.testing.assert_allclose(
+            float(det_loop[k_]), float(det_scan[k_]), rtol=1e-4, err_msg=k_
+        )
+
+
+def test_scan_kd_teacher_grads_zero():
+    t_cfg = tiny_opt("none")
+    s_cfg = tiny_opt("perlin")
+    ids, mask = make_batch(N=1, T=16, vocab=t_cfg.vocab_size)
+    kd = SeaOptKD(t_cfg, s_cfg)
+    t_vars = jax.jit(lambda: kd.teacher.init(jax.random.key(0), ids, mask))()
+    s_vars = jax.jit(lambda: kd.student.init(jax.random.key(1), ids, mask))()
+    kds = SeaOptKDScan(t_cfg, s_cfg)
+    combined = SeaOptKDScan.combine_params(t_vars, s_vars, t_cfg.num_layers)
+
+    g = jax.jit(
+        jax.grad(lambda cv: kds.kd_loss(cv, ids, mask, ids)[0])
+    )(combined)
+
+    def total(tree):
+        return sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(tree))
+
+    t_grad = total(g["params"]["teacher"]) + total(g["params"]["pairs"]["teacher"])
+    s_grad = total(g["params"]["student"]) + total(g["params"]["pairs"]["student"])
+    assert t_grad == 0.0, t_grad
+    assert s_grad > 0
