@@ -125,6 +125,25 @@ class SeaOptKDScan:
             out[coll] = entry
         return out
 
+    @staticmethod
+    def split_student(combined, num_layers: int):
+        """Recover the loop-layout student variables from the combined tree
+        (for evaluation/checkpointing)."""
+        out = {}
+        for coll, v in combined.items():
+            if not isinstance(v, dict):
+                continue
+            model = dict(v.get("student", {}).get("model", {}))
+            stacked = v.get("pairs", {}).get("student")
+            if stacked is not None:
+                for i in range(num_layers):
+                    model[f"layers_{i}"] = jax.tree_util.tree_map(
+                        lambda x, _i=i: x[_i], stacked
+                    )
+            if model:
+                out[coll] = {"model": model}
+        return out
+
     def kd_loss(
         self,
         combined_vars,

@@ -59,6 +59,9 @@ class TrainerConfig:
     # many steps before distilling, standing in for the reference's
     # HF-hub finetuned teachers (Aalaa/opt-125m-wikitext2)
     pretrain_teacher_steps: int = 0
+    # compile the teacher/student layer pair as one scanned body (large
+    # models on TPU: num_layers-times smaller train-step graph)
+    scan_kd: bool = False
 
 
 def tiny_configs() -> Tuple[OptConfig, OptConfig]:
@@ -130,8 +133,22 @@ class OptTrainer:
             lr_high_scale=cfg.lr_high_scale, lr_low_scale=cfg.lr_low_scale,
         )
         self.tx = optax.MultiSteps(base_tx, cfg.gradient_accumulation_steps)
-        self.opt_state = self.tx.init(self.s_params)
-        self._train_step = jax.jit(self._train_step_impl)
+        if cfg.scan_kd:
+            from .distill import SeaOptKDScan
+
+            self.kds = SeaOptKDScan(self.t_cfg, self.s_cfg)
+            s_full = dict(self.s_extra)
+            s_full["params"] = self.s_params
+            combined = SeaOptKDScan.combine_params(
+                self.t_vars, s_full, self.t_cfg.num_layers
+            )
+            self.combined_params = combined.pop("params")
+            self.combined_extra = combined
+            self.opt_state = self.tx.init(self.combined_params)
+            self._train_step = jax.jit(self._train_step_scan_impl)
+        else:
+            self.opt_state = self.tx.init(self.s_params)
+            self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
@@ -148,6 +165,25 @@ class OptTrainer:
         updates, opt_state = self.tx.update(grads, opt_state, s_params)
         s_params = optax.apply_updates(s_params, updates)
         return s_params, opt_state, loss, details
+
+    def _train_step_scan_impl(self, c_params, opt_state, ids, mask, labels, rng):
+        def loss_fn(p):
+            cv = dict(self.combined_extra)
+            cv["params"] = p
+            return self.kds.kd_loss(cv, ids, mask, labels, rng=rng)
+
+        (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(c_params)
+        updates, opt_state = self.tx.update(grads, opt_state, c_params)
+        c_params = optax.apply_updates(c_params, updates)
+        return c_params, opt_state, loss, details
+
+    def _sync_student_from_combined(self):
+        from .distill import SeaOptKDScan
+
+        cv = dict(self.combined_extra)
+        cv["params"] = self.combined_params
+        sv = SeaOptKDScan.split_student(cv, self.t_cfg.num_layers)
+        self.s_params = sv["params"]
 
     def _teacher_step_impl(self, t_params, opt_state, ids, mask, labels):
         def loss_fn(p):
@@ -195,6 +231,8 @@ class OptTrainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, max_batches: Optional[int] = None) -> float:
+        if self.cfg.scan_kd:
+            self._sync_student_from_combined()
         total_nll, total_tok = 0.0, 0
         for i, (ids, mask, labels) in enumerate(
             self.eval_corpus.batches(self.cfg.batch_size)
@@ -246,11 +284,19 @@ class OptTrainer:
                 cfg.batch_size, shuffle=True, seed=cfg.seed + done
             ):
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.s_params, self.opt_state, loss, details = self._train_step(
-                    self.s_params, self.opt_state, self.t_vars,
-                    jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels),
-                    step_rng,
-                )
+                if self.cfg.scan_kd:
+                    (self.combined_params, self.opt_state, loss, details
+                     ) = self._train_step(
+                        self.combined_params, self.opt_state,
+                        jnp.asarray(ids), jnp.asarray(mask),
+                        jnp.asarray(labels), step_rng,
+                    )
+                else:
+                    self.s_params, self.opt_state, loss, details = self._train_step(
+                        self.s_params, self.opt_state, self.t_vars,
+                        jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels),
+                        step_rng,
+                    )
                 done += 1
                 if done % cfg.gradient_accumulation_steps == 0:
                     self.step += 1

@@ -33,6 +33,8 @@ def param_labels(params) -> Any:
 
     def label(path, leaf):
         p = _path_str(path).lower()
+        if "teacher" in p.split("/"):
+            return "frozen"  # combined KD trees: teacher params never move
         high = "perlin" in p
         name = p.rsplit("/", 1)[-1]
         nodecay = name in ("bias", "scale")
@@ -64,6 +66,7 @@ def make_optimizer(
             "low_nd": adamw(lr_low_scale, 0.0),
             "high": adamw(lr_high_scale, wd),
             "high_nd": adamw(lr_high_scale, 0.0),
+            "frozen": optax.set_to_zero(),
         },
         param_labels,
     )

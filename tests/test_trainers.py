@@ -91,3 +91,24 @@ def test_lra_trainer_smoke(tmp_path):
     tr.train()
     acc = tr.evaluate("student", max_batches=2)
     assert 0.0 <= acc <= 1.0
+
+
+def test_opt_trainer_scan_kd(tmp_path):
+    from sea_tpu.training.opt_trainer import OptTrainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        model="tiny",
+        max_seq_len=64,
+        stride=32,
+        batch_size=2,
+        gradient_accumulation_steps=1,
+        num_steps=4,
+        eval_steps=100,
+        log_steps=2,
+        scan_kd=True,
+        save_dir=str(tmp_path),
+    )
+    tr = OptTrainer(cfg)
+    tr.train()
+    ppl = tr.evaluate(max_batches=2)
+    assert np.isfinite(ppl)
