@@ -449,10 +449,10 @@ class SeaAttention(nn.Module):
         use_fused = (
             benchmarking
             and cfg.use_pallas
-            and cfg.causal
             and cfg.k_oversample == 1.0
             and T_DST % 128 == 0
             and T_SRC % 128 == 0
+            and (cfg.causal or T_DST == T_SRC)
         )
         if use_fused:
             with bench.region("attention.fused"):
@@ -464,24 +464,42 @@ class SeaAttention(nn.Module):
                 )
                 from ..ops.kernels.block_sparse import sea_block_sparse_attention
 
+                if cfg.causal:
+                    q_kern = q_for_score
+                    lengths = None
+                else:
+                    # BERT path scales scores by 1/sqrt(d) (attention.py:1187)
+                    q_kern = q_for_score / math.sqrt(D)
+                    lengths = zero_one_attention_mask[:, 0, 0, :].sum(-1).astype(
+                        jnp.int32
+                    )
                 partial_context_layer = sea_block_sparse_attention(
-                    q_for_score,
+                    q_kern,
                     k_for_score,
                     v,
                     (partial_attention_mask_m > 0).astype(q.dtype),
                     row_scaler,
-                    is_causal=True,
+                    is_causal=cfg.causal,
+                    lengths=lengths,
                     interpret=jax.default_backend() != "tpu",
                 )
                 partial_attention_probs = None
                 partial_attention_mask = partial_attention_mask_m
                 attention_probs_dense = None
             with bench.region("attention.avg_pool"):
-                avg_v = v * dst_alive.astype(v.dtype)
-                denom = jnp.arange(1, T_SRC + 1, dtype=jnp.float32).reshape(1, 1, -1, 1)
-                average_context_layer = (
-                    jnp.cumsum(avg_v.astype(jnp.float32), axis=-2) / denom
-                ).astype(v.dtype)
+                if cfg.causal:
+                    avg_v = v * dst_alive.astype(v.dtype)
+                    denom = jnp.arange(1, T_SRC + 1, dtype=jnp.float32).reshape(1, 1, -1, 1)
+                    average_context_layer = (
+                        jnp.cumsum(avg_v.astype(jnp.float32), axis=-2) / denom
+                    ).astype(v.dtype)
+                else:
+                    mean_probs = estimated_attention_probs.mean(-2, keepdims=True)
+                    w = resize(mean_probs, 0.0, handle_oversample=False)
+                    w = jnp.swapaxes(w, -1, -2)
+                    average_context_layer = (
+                        v * dst_alive.astype(v.dtype) * w.astype(v.dtype)
+                    ).sum(-2, keepdims=True)
                 average_scale = jax.nn.sigmoid(estimated_scales[..., 1:2])
                 partial_context_layer = (
                     partial_context_layer * average_scale

@@ -33,3 +33,14 @@ def test_fused_vs_csr_paths_agree():
     # own train-vs-benchmark tolerance covers the same gap).
     err = np.abs(a - b).mean()
     assert err < 2e-2, err
+
+
+def test_fused_noncausal_matches_train_path():
+    cfg = small_cfg(causal=False, use_pallas=True)
+    inputs = make_inputs(cfg, N=1, T=128)
+    params, out_train = init_and_run(cfg, benchmarking=False, inputs=inputs)
+    _, out_fused = init_and_run(cfg, benchmarking=True, inputs=inputs, params=params)
+    a = np.asarray(out_train.context_layer)
+    b = np.asarray(out_fused.context_layer)
+    err = np.abs(a - b).max()
+    assert err < 5e-4, err
