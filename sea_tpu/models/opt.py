@@ -452,6 +452,42 @@ class OptForCausalLM(nn.Module):
         h = self.model.finalize(h)
         return self.logits(h), new_states
 
+    def generate_greedy(
+        self,
+        prompt_ids: jnp.ndarray,  # (N, P)
+        max_len: int,
+        num_steps: int,
+    ):
+        """Whole generation loop on device: prefill the prompt through the
+        decode cache, then lax.scan greedy steps (no per-token host round
+        trips — the TPU-native answer to the reference's HF `generate`
+        python loop)."""
+        N, P = prompt_ids.shape
+        states = self.init_decode_states(N, max_len, jnp.float32)
+
+        def prefill_body(carry, t):
+            states = carry
+            logits, states = self.decode_step(
+                jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+            )
+            return states, logits[:, 0]
+
+        states, prefill_logits = jax.lax.scan(
+            prefill_body, states, jnp.arange(P, dtype=jnp.int32)
+        )
+        last_logits = prefill_logits[-1]  # (N, V)
+
+        def gen_body(carry, i):
+            states, last_logits = carry
+            nxt = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)[:, None]
+            logits, states = self.decode_step(nxt, P + i, states)
+            return (states, logits[:, 0]), nxt[:, 0]
+
+        (states, _), tokens = jax.lax.scan(
+            gen_body, (states, last_logits), jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return jnp.swapaxes(tokens, 0, 1)  # (N, num_steps)
+
     def logits(self, h: jnp.ndarray) -> jnp.ndarray:
         embedding = self.model.embed_tokens.embedding
         return h @ embedding.T
