@@ -127,15 +127,50 @@ def load_wikitext2_tokens(
     return ids
 
 
+def load_openwebtext_tokens(
+    tokenizer_name: str = "facebook/opt-125m",
+    split: str = "train",
+    cache_dir: Optional[str] = None,
+    allow_download: bool = False,
+    max_documents: int = 20000,
+) -> np.ndarray:
+    """OpenWebText variant (reference FORCE_OPENWEBTEXT=1 swap,
+    wikitext2.py:55-75)."""
+    cache_dir = cache_dir or os.path.join(os.path.dirname(__file__), "..", "..", "saves", "data")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, f"openwebtext_{split}.npy")
+    if os.path.exists(cache):
+        return np.load(cache)
+    if not allow_download:
+        raise FileNotFoundError(f"no cached tokens at {cache} and downloads disabled")
+    from datasets import load_dataset
+    from transformers import AutoTokenizer
+
+    ds = load_dataset("openwebtext", split=split, streaming=True)
+    tok = AutoTokenizer.from_pretrained(tokenizer_name)
+    chunks = []
+    for i, ex in enumerate(ds):
+        if i >= max_documents:
+            break
+        chunks.extend(tok(ex["text"]).input_ids)
+    ids = np.asarray(chunks, dtype=np.int32)
+    np.save(cache, ids)
+    return ids
+
+
 def get_corpus(
     max_length: int,
     stride: int,
     split: str = "train",
     synthetic_fallback: bool = True,
     vocab_size: int = 50272,
+    dataset: str = "wikitext2",
 ) -> WindowedCorpus:
     try:
-        tokens = load_wikitext2_tokens(split=split, allow_download=True)
+        if dataset == "openwebtext":
+            tokens = load_openwebtext_tokens(split=split, allow_download=True)
+        else:
+            tokens = load_wikitext2_tokens(split=split, allow_download=True)
     except Exception:
         if not synthetic_fallback:
             raise
