@@ -131,12 +131,13 @@ LRA_TASKS = {
 }
 
 
-def get_lra(task: str, split: str = "train", n: int = 1024, max_length=None):
+def get_lra(task: str, split: str = "train", n: int = 1024, max_length=None,
+            max_depth: int = 6):
     spec = LRA_TASKS[task]
     L = max_length or spec.max_length
     seed = 0 if split == "train" else 1
     if task == "listops":
-        return listops_dataset(n, L, seed=seed)
+        return listops_dataset(n, L, max_depth=max_depth, seed=seed)
     if task == "text":
         return text_dataset(n, L, seed=seed)
     if task == "image":

@@ -66,6 +66,9 @@ class LraTrainerConfig:
     seed: int = 42
     save_dir: str = "./saves/lra_trainer"
     scale: float = 1.0  # model-size scale for smoke tests
+    lr: Optional[float] = None  # override the per-task table
+    wd: Optional[float] = None
+    max_depth: int = 6  # listops expression depth
 
 
 class LraTrainer:
@@ -79,8 +82,11 @@ class LraTrainer:
             self.t_cfg, self.s_cfg = (
                 self._scaled(self.t_cfg), self._scaled(self.s_cfg)
             )
-        self.train_ds = get_lra(cfg.task, "train", cfg.n_train, cfg.max_length)
-        self.eval_ds = get_lra(cfg.task, "valid", max(cfg.n_train // 4, 64), cfg.max_length)
+        kw = {"max_depth": cfg.max_depth} if cfg.task == "listops" else {}
+        self.train_ds = get_lra(cfg.task, "train", cfg.n_train, cfg.max_length, **kw)
+        self.eval_ds = get_lra(
+            cfg.task, "valid", max(cfg.n_train // 4, 64), cfg.max_length, **kw
+        )
 
         from .distill import SeaBertKD
 
@@ -96,7 +102,9 @@ class LraTrainer:
         self.s_extra = {k: v for k, v in s_vars.items() if k != "params"}
 
         spec_lr = LRA_TASKS[cfg.task]
-        self.tx = make_optimizer(lr=spec_lr.lr, wd=spec_lr.wd, lr_low_scale=1.0)
+        lr = cfg.lr if cfg.lr is not None else spec_lr.lr
+        wd = cfg.wd if cfg.wd is not None else spec_lr.wd
+        self.tx = make_optimizer(lr=lr, wd=wd, lr_low_scale=1.0)
         self.t_params_mut = self.t_vars["params"]  # trained in 'dense' phase
         self.t_opt_state = self.tx.init(self.t_params_mut)
         self.opt_state = self.tx.init(self.s_params)
