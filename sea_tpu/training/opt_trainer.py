@@ -253,6 +253,15 @@ class OptTrainer:
         record["time"] = time.time()
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        # optional wandb mirror (reference logs to project perlin-opt,
+        # opt_trainer.py:691-737); JSONL stays the source of truth offline
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                wandb.log(record, step=self.step)
+        except Exception:
+            pass
 
     def save(self, tag: str = "checkpoint"):
         import orbax.checkpoint as ocp
