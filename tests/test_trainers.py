@@ -50,6 +50,7 @@ def test_opt_trainer_checkpoint_roundtrip(opt_trainer):
 
 
 def test_metrics_logged(opt_trainer):
+    opt_trainer.log({"probe": 1.0})
     assert os.path.exists(opt_trainer.metrics_path)
     with open(opt_trainer.metrics_path) as f:
         lines = [l for l in f if l.strip()]
