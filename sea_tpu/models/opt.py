@@ -46,8 +46,10 @@ class OptConfig:
     pad_token_id: int = 1
     bos_token_id: int = 2
     do_layer_norm_before: bool = True
-    dropout: float = 0.1
+    dropout: float = 0.0
     attention_method: str = "perlin"  # 'none' | 'perlin' | 'performer'
+    # NOTE dropout defaults to 0.0 here (the reference OPT uses 0.1 during
+    # KD); setting it >0 requires rngs={'dropout': key} on apply
     # compile the layer stack as one lax.scan body with stacked params
     # (12x smaller XLA graph; param trees convert with
     # stack_layer_params/unstack_layer_params)
@@ -258,6 +260,7 @@ class OptDecoderLayer(nn.Module):
         self.fc1 = nn.Dense(c.ffn_dim, name="fc1")
         self.fc2 = nn.Dense(c.hidden_size, name="fc2")
         self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
+        self.drop = nn.Dropout(rate=c.dropout)
 
     def __call__(
         self,
@@ -282,6 +285,7 @@ class OptDecoderLayer(nn.Module):
             training=training,
             rng=rng,
         )
+        h = self.drop(h, deterministic=not training)
         h = residual + h
         if not c.do_layer_norm_before:
             h = self.self_attn_layer_norm(h)
@@ -291,6 +295,7 @@ class OptDecoderLayer(nn.Module):
             h = self.final_layer_norm(h)
         h = nn.relu(self.fc1(h))
         h = self.fc2(h)
+        h = self.drop(h, deterministic=not training)
         h = residual + h
         if not c.do_layer_norm_before:
             h = self.final_layer_norm(h)
