@@ -15,9 +15,16 @@ Stages (profiler region names follow the reference):
   4 "predictor"   enc MLP -> dec_row + ChannelSplit -> causal CNN -> score
   5 loss path     resize estimator to T, KL*0.1 + MSE vs teacher scores
   6 "mask"        grouped top-k over (N,T_DST,H*T_M) with per-row budget
-  7 "interp"      train: dense resize; benchmark: uniform flat-CSR expand
-  8 "attention"   train: dense masked softmax @ v; benchmark: CSR pipeline
+  7 "interp"      train: dense resize; benchmark: fused Pallas kernel
+                  (mask expansion inside the kernel) or uniform flat-CSR
+  8 "attention"   train: dense masked softmax @ v; benchmark: fused kernel
+                  / CSR pipeline
   9 output        mix with running-average context, per-query gates
+
+Benchmark paths: `cfg.use_pallas` selects the fused block-sparse kernel
+(`ops/kernels/block_sparse.py`, tight consistency with the train path);
+otherwise the uniform flat-CSR chain (`ops/flat_csr.py`, bit-compatible
+with the reference's Triton expansion semantics).
 """
 
 from __future__ import annotations

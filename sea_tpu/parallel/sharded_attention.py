@@ -42,6 +42,50 @@ def _zigzag_perm(t: int, n_shards: int, block: int) -> jnp.ndarray:
     return (idx[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None, :]).reshape(-1)
 
 
+def head_sharded_sea_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_m: jnp.ndarray,
+    row_scaler: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    is_causal: bool = True,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Head-partitioned variant (the other half of the north star's
+    "sequence/head row-partitioning"): every SEA stage is head-independent
+    except the shared per-row budget, which is already baked into `mask_m`
+    before this op — so heads shard with NO cross-device communication at
+    all (K/V shard by head too). Ideal when H >= n_devices."""
+    N, H, T, D = q.shape
+    n_shards = mesh.shape[axis]
+    assert H % n_shards == 0
+
+    spec = P(None, axis, None, None)
+    scaler_spec = P(None, axis, None)
+
+    def shard_fn(q_l, k_l, v_l, mask_l, scaler_l):
+        return sea_block_sparse_attention(
+            q_l, k_l, v_l, mask_l, scaler_l,
+            is_causal=is_causal, block_q=block_q, block_k=block_k,
+            interpret=interpret,
+        )
+
+    scaler = (
+        row_scaler if row_scaler is not None else jnp.ones((N, H, T), q.dtype)
+    )
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, scaler_spec),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v, mask_m, scaler)
+
+
 def sharded_sea_attention(
     q: jnp.ndarray,  # (N, H, T, D) pre-scaled
     k: jnp.ndarray,

@@ -40,3 +40,18 @@ def test_sharded_matches_oracle(zigzag, use_kernel):
     )(q, k, v, mask, scaler)
     want = dense_reference(q, k, v, mask, scaler, is_causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_head_sharded_matches_oracle():
+    from sea_tpu.parallel.sharded_attention import head_sharded_sea_attention
+
+    q, k, v, mask, scaler = make_case(H=4)
+    mesh = make_mesh(dp=2, sp=4)
+    got = jax.jit(
+        lambda *a: head_sharded_sea_attention(
+            *a, mesh=mesh, is_causal=True, block_q=64, block_k=64,
+            interpret=True,
+        )
+    )(q, k, v, mask, scaler)
+    want = dense_reference(q, k, v, mask, scaler, is_causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
