@@ -45,6 +45,9 @@ class GlueTrainerConfig:
     batch_size: Optional[int] = None
     seed: int = 42
     save_dir: str = "./saves/glue_trainer"
+    # offline mode: task-train the fresh teacher before distilling (the
+    # reference downloads finetuned textattack teachers instead)
+    pretrain_teacher_steps: int = 0
 
 
 def tiny_bert_configs(num_labels=2):
@@ -89,6 +92,12 @@ class GlueTrainer:
         self.s_extra = {k: v for k, v in s_vars.items() if k != "params"}
 
         self.tx = make_optimizer(lr=cfg.lr, wd=cfg.wd, lr_low_scale=1.0)
+        if cfg.pretrain_teacher_steps > 0:
+            self._pretrain_teacher(cfg.pretrain_teacher_steps)
+            s_vars = student_from_teacher(
+                {"params": self.s_params, **self.s_extra}, self.t_vars["params"]
+            )
+            self.s_params = s_vars["params"]
         self.opt_state = self.tx.init(self.s_params)
         self.step = 0
         self.rng = jax.random.key(cfg.seed)
@@ -96,6 +105,54 @@ class GlueTrainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         os.makedirs(cfg.save_dir, exist_ok=True)
         self.metrics_path = os.path.join(cfg.save_dir, f"{cfg.subset}.jsonl")
+
+    def _pretrain_teacher(self, steps: int):
+        import optax as _optax
+
+        ttx = _optax.adamw(self.cfg.lr, weight_decay=self.cfg.wd)
+        t_params = self.t_vars["params"]
+        t_opt = ttx.init(t_params)
+
+        @jax.jit
+        def tstep(p, o, ids, mask, tt, labels):
+            def loss_fn(pp):
+                out = self.kd.teacher.apply({"params": pp}, ids, mask, tt, labels=labels)
+                return out["loss"]
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            up, o = ttx.update(g, o, p)
+            return _optax.apply_updates(p, up), o, loss
+
+        done = 0
+        while done < steps:
+            for ids, mask, tt, labels in self.train_ds.batches(
+                self.batch_size, shuffle=True, seed=self.cfg.seed + 500 + done
+            ):
+                t_params, t_opt, loss = tstep(
+                    t_params, t_opt,
+                    jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt),
+                    jnp.asarray(labels),
+                )
+                done += 1
+                if done >= steps:
+                    break
+        self.t_vars = {**self.t_vars, "params": t_params}
+
+    def evaluate_teacher(self, max_batches=None) -> float:
+        correct, total = 0, 0
+        for i, (ids, mask, tt, labels) in enumerate(
+            self.eval_ds.batches(self.batch_size)
+        ):
+            if max_batches is not None and i >= max_batches:
+                break
+            logits = np.asarray(
+                self.kd.teacher.apply(
+                    self.t_vars, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)
+                )["logits"]
+            )
+            correct += int((logits.argmax(-1) == labels).sum())
+            total += len(labels)
+        return correct / max(total, 1)
 
     def _train_step_impl(self, s_params, opt_state, ids, mask, tt, labels, rng):
         def loss_fn(p):
