@@ -88,6 +88,14 @@ class BertSelfAttention(nn.Module):
             self.synthesizer = SynthesizerDense(
                 c.max_position_embeddings, name="synthesizer"
             )
+        elif c.attention_method == "scatterbrain":
+            self.performer_proj = self.variable(
+                "performer",
+                "projection",
+                lambda: gaussian_orthogonal_random_matrix(
+                    jax.random.key(2), c.sea.nb_features, c.head_dim
+                ),
+            )
         elif c.attention_method == "cosformer":
             from ..ops.cosformer import CosformerAttention
 
@@ -171,6 +179,19 @@ class BertSelfAttention(nn.Module):
             ctx = reformer_lsh_attention(
                 q, v, bucket_size=bs, n_hashes=4,
                 causal=False, mask_1d=mask_1d,
+            )
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
+            return ctx, None, None, merge_sim
+
+        if c.attention_method == "scatterbrain":
+            from ..ops.baselines import scatterbrain_attention
+
+            T_ = q.shape[2]
+            bs = max(min(max(c.sea.k, 8), T_ // 2), 1)
+            while T_ % bs:
+                bs -= 1
+            ctx = scatterbrain_attention(
+                q, k, v, self.performer_proj.value, bucket_size=bs,
             )
             ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
             return ctx, None, None, merge_sim

@@ -117,6 +117,79 @@ def reformer_lsh_attention(
     return (sum(outs) / n_hashes).astype(q.dtype)
 
 
+def scatterbrain_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    proj: jnp.ndarray,
+    *,
+    bucket_size: int = 64,
+    causal: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Scatterbrain: low-rank (FAVOR+) attention plus a sparse correction on
+    LSH-matched pairs — unnormalised kernel estimate phi(q)phi(k)^T is
+    replaced by the exact exp(qk^T) inside LSH chunks, then everything is
+    normalised together (Chen et al. 2021, unified sparse+low-rank; the
+    reference consumes the pip package)."""
+    from .performer import softmax_kernel_features
+
+    N, H, T, D = q.shape
+    if rng is None:
+        rng = jax.random.key(0)
+    qp = softmax_kernel_features(q, proj, is_query=True)  # (N,H,T,M)
+    kp = softmax_kernel_features(k, proj, is_query=False)
+    v32 = v.astype(jnp.float32)
+
+    # low-rank global numerator / denominator
+    ctx = jnp.einsum("nhsm,nhsd->nhmd", kp, v32)
+    num_lr = jnp.einsum("nhtm,nhmd->nhtd", qp, ctx)
+    den_lr = jnp.einsum("nhtm,nhm->nht", qp, kp.sum(2))
+
+    # LSH chunking (shared-QK hashing on q like reformer)
+    n_buckets = max(2, T // bucket_size)
+    if n_buckets % 2:
+        n_buckets += 1
+    qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
+    ids = _bucket_ids(qn, n_buckets, rng)
+    key = ids * (T + 1) + jnp.arange(T, dtype=jnp.int32)
+    order = jnp.argsort(key, axis=-1)
+    inv = jnp.argsort(order, axis=-1)
+
+    def g(x):
+        return jnp.take_along_axis(x, order[..., None], axis=2)
+
+    C = bucket_size
+    nc = T // C
+    qs = g(q).reshape(N, H, nc, C, D)
+    ks = g(k).reshape(N, H, nc, C, D)
+    vs = g(v32).reshape(N, H, nc, C, D)
+    qps = g(qp).reshape(N, H, nc, C, -1)
+    kps = g(kp).reshape(N, H, nc, C, -1)
+    pos = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), ids.shape), order, -1
+    ).reshape(N, H, nc, C)
+
+    scale = 1.0 / math.sqrt(D)
+    exact = jnp.exp(
+        jnp.einsum("nhctd,nhcsd->nhcts", qs, ks).astype(jnp.float32) * scale
+        - scale * 0  # stability handled by the low-rank part dominating
+    )
+    approx = jnp.einsum("nhctm,nhcsm->nhcts", qps, kps)
+    if causal:
+        cmask = pos[..., :, None] >= pos[..., None, :]
+        exact = jnp.where(cmask, exact, 0.0)
+        approx = jnp.where(cmask, approx, 0.0)
+    corr = exact - approx  # replace the estimate by the exact kernel in-chunk
+    num_sp = jnp.einsum("nhcts,nhcsd->nhctd", corr, vs).reshape(N, H, T, D)
+    den_sp = corr.sum(-1).reshape(N, H, T)
+    num_sp = jnp.take_along_axis(num_sp, inv[..., None], axis=2)
+    den_sp = jnp.take_along_axis(den_sp, inv, axis=2)
+
+    den = jnp.maximum(den_lr + den_sp, 1e-6)
+    return ((num_lr + num_sp) / den[..., None]).astype(q.dtype)
+
+
 def sinkhorn_block_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -79,3 +79,35 @@ def test_bert_dispatcher_methods(method):
     out = jax.jit(lambda v: model.apply(v, ids, mask, labels=labels))(variables)
     assert np.isfinite(np.asarray(out["logits"])).all()
     assert np.isfinite(float(out["loss"]))
+
+
+def test_scatterbrain_corrects_toward_exact():
+    """Within-chunk pairs use the exact kernel: for a single chunk covering
+    everything, scatterbrain == exact softmax attention."""
+    from sea_tpu.ops.baselines import scatterbrain_attention
+    from sea_tpu.ops.performer import gaussian_orthogonal_random_matrix
+    import math
+
+    rng = np.random.default_rng(5)
+    N, H, T, D = 1, 2, 32, 16
+    q = jnp.asarray(rng.standard_normal((N, H, T, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, H, T, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, H, T, D)), jnp.float32)
+    proj = gaussian_orthogonal_random_matrix(jax.random.key(0), 64, D)
+    got = np.asarray(scatterbrain_attention(q, k, v, proj, bucket_size=T))
+    scores = np.einsum("nhtd,nhsd->nhts", q, k) / math.sqrt(D)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("nhts,nhsd->nhtd", p, np.asarray(v))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_bert_scatterbrain_dispatch():
+    from sea_tpu.models.bert import BertForSequenceClassification
+
+    cfg = tiny_bert("scatterbrain")
+    model = BertForSequenceClassification(cfg)
+    ids, mask, labels = make_batch(N=2, T=16)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
+    out = jax.jit(lambda v: model.apply(v, ids, mask, labels=labels))(variables)
+    assert np.isfinite(np.asarray(out["logits"])).all()
