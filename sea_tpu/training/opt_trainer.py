@@ -62,6 +62,10 @@ class TrainerConfig:
     # compile the teacher/student layer pair as one scanned body (large
     # models on TPU: num_layers-times smaller train-step graph)
     scan_kd: bool = False
+    # shard the train step over all visible devices: batch over a 'dp' mesh
+    # axis, params/optimizer replicated (XLA inserts the grad all-reduce) —
+    # the DeepSpeed-DP analogue; requires batch_size % n_devices == 0
+    data_parallel: bool = False
 
 
 def tiny_configs() -> Tuple[OptConfig, OptConfig]:
@@ -133,6 +137,26 @@ class OptTrainer:
             lr_high_scale=cfg.lr_high_scale, lr_low_scale=cfg.lr_low_scale,
         )
         self.tx = optax.MultiSteps(base_tx, cfg.gradient_accumulation_steps)
+        jit_kw = {}
+        self.mesh = None
+        if cfg.data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            self.mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("dp"))
+            self._data_sharding = data
+            # params/opt_state/t_vars replicated; batch sharded on dp
+            if cfg.scan_kd:
+                jit_kw = dict(
+                    in_shardings=(repl, repl, data, data, data, repl),
+                    out_shardings=(repl, repl, repl, repl),
+                )
+            else:
+                jit_kw = dict(
+                    in_shardings=(repl, repl, repl, data, data, data, repl),
+                    out_shardings=(repl, repl, repl, repl),
+                )
         if cfg.scan_kd:
             from .distill import SeaOptKDScan
 
@@ -145,10 +169,10 @@ class OptTrainer:
             self.combined_params = combined.pop("params")
             self.combined_extra = combined
             self.opt_state = self.tx.init(self.combined_params)
-            self._train_step = jax.jit(self._train_step_scan_impl)
+            self._train_step = jax.jit(self._train_step_scan_impl, **jit_kw)
         else:
             self.opt_state = self.tx.init(self.s_params)
-            self._train_step = jax.jit(self._train_step_impl)
+            self._train_step = jax.jit(self._train_step_impl, **jit_kw)
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------

@@ -113,3 +113,30 @@ def test_opt_trainer_scan_kd(tmp_path):
     tr.train()
     ppl = tr.evaluate(max_batches=2)
     assert np.isfinite(ppl)
+
+
+def test_opt_trainer_data_parallel(tmp_path):
+    """Data-parallel train step over the 8-device CPU mesh."""
+    import jax
+    from sea_tpu.training.opt_trainer import OptTrainer, TrainerConfig
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    cfg = TrainerConfig(
+        model="tiny",
+        max_seq_len=64,
+        stride=32,
+        batch_size=8,
+        gradient_accumulation_steps=1,
+        num_steps=3,
+        eval_steps=100,
+        log_steps=2,
+        data_parallel=True,
+        save_dir=str(tmp_path),
+    )
+    tr = OptTrainer(cfg)
+    assert tr.mesh is not None
+    tr.train()
+    assert np.isfinite(tr.evaluate(max_batches=2))
