@@ -136,7 +136,12 @@ class OptTrainer:
             lr=cfg.lr, wd=cfg.wd,
             lr_high_scale=cfg.lr_high_scale, lr_low_scale=cfg.lr_low_scale,
         )
-        self.tx = optax.MultiSteps(base_tx, cfg.gradient_accumulation_steps)
+        # MultiSteps allocates a full gradient-accumulation buffer; skip it
+        # when accumulation is 1 (large models: saves a params-sized tensor)
+        if cfg.gradient_accumulation_steps > 1:
+            self.tx = optax.MultiSteps(base_tx, cfg.gradient_accumulation_steps)
+        else:
+            self.tx = base_tx
         jit_kw = {}
         self.mesh = None
         if cfg.data_parallel and len(jax.devices()) > 1:
