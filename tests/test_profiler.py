@@ -1,0 +1,32 @@
+"""Region profiler: nested timing tree + zero-overhead-when-disabled."""
+
+import time
+
+from sea_tpu.utils.profiler import Benchmark
+
+
+def test_nested_regions_and_tracetree():
+    b = Benchmark()
+    b.disabled = False
+    with b.region("outer"):
+        time.sleep(0.01)
+        with b.region("inner"):
+            time.sleep(0.005)
+        with b.region("inner"):
+            time.sleep(0.005)
+    tree = b.format_tracetree()
+    assert "outer" in tree and "inner" in tree
+    assert "n=2" in tree
+    outer = b._root.children["outer"]
+    inner = outer.children["inner"]
+    assert outer.total >= inner.total > 0.005
+
+
+def test_disabled_is_noop():
+    b = Benchmark()
+    assert b.disabled
+    with b.region("x"):
+        pass
+    b.register_temp_buffer("y", object())
+    assert b.buffers == {}
+    assert b._root.children == {}
