@@ -241,6 +241,10 @@ class SeaAttention(nn.Module):
         cfg = self.cfg
         bench = get_bench()
         N, H, T, D = q.shape
+        assert H == cfg.num_heads and D == cfg.head_dim, (
+            f"input geometry ({H} heads, d={D}) does not match SeaConfig "
+            f"({cfg.num_heads} heads, d={cfg.head_dim})"
+        )
         T_M = cfg.predictor_length
         FP_MIN = fp_min_for(q.dtype)
 

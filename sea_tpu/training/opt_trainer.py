@@ -86,7 +86,10 @@ def tiny_configs() -> Tuple[OptConfig, OptConfig]:
 def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
     if cfg.model == "tiny":
         return tiny_configs()
+    # head geometry must match the model family (350m has 16 heads)
+    heads = {"opt-125m": 12, "opt-350m": 16}[cfg.model]
     sea = opt_config(
+        num_heads=heads,
         k=cfg.k,
         predictor_length=cfg.predictor_length,
         performer_nb_factor=cfg.nb_factor,
