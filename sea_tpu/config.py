@@ -50,6 +50,12 @@ class SeaConfig:
     comp_book_size: int = 8
     comp_patch_size: int = 16
     comp_patch_count: int = 16
+    # deeper 3-conv causal CNN stack (reference env PERLIN_HOTFIX_OPT_DEEPER,
+    # attention.py:252-271)
+    cnn_deeper: bool = False
+    # distill against the student's own detached dense scores instead of a
+    # teacher (reference env KD_SELF_TEACHER, attention.py:370-377)
+    kd_self_teacher: bool = False
 
     # --- output mixing --------------------------------------------------------
     partial_attention_scaler: bool = True

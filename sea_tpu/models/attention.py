@@ -140,6 +140,9 @@ class SeaAttention(nn.Module):
             self.cnn_ln1 = nn.LayerNorm(name="cnn_ln1")
             self.cnn_conv1 = CausalConv2d(ch, ch, 3, padding=2, dilation=2, causal=True, name="cnn_conv1")
             self.cnn_conv2 = CausalConv2d(ch, ch, 3, padding=2, dilation=2, causal=True, name="cnn_conv2")
+            if cfg.cnn_deeper:
+                # third dilated conv (reference PERLIN_HOTFIX_OPT_DEEPER)
+                self.cnn_conv3 = CausalConv2d(ch, ch, 3, padding=2, dilation=2, causal=True, name="cnn_conv3")
             self.cnn_conv4 = CausalConv2d(ch, H, 1, padding=1, causal=True, name="cnn_conv4")
             self.cnn_ln2 = nn.LayerNorm(name="cnn_ln2")
         else:
@@ -205,6 +208,8 @@ class SeaAttention(nn.Module):
             h_in = y.shape[-2]
             y = nn.relu(self.cnn_conv1(y))
             y = nn.relu(self.cnn_conv2(y))
+            if cfg.cnn_deeper:
+                y = nn.relu(self.cnn_conv3(y))
             y = upsample_nearest(y, (1, 4))
             y = self.cnn_conv4(y)
             y = interpolate(y, (h_in, T_M))
@@ -263,6 +268,18 @@ class SeaAttention(nn.Module):
 
         zero_one_attention_mask = (attention_mask > -1).astype(jnp.float32)
         dst_alive = dst_attention_mask > -1  # (N,1,T_DST,1)
+
+        # self-teacher: distill against the student's own detached dense
+        # scores (reference KD_SELF_TEACHER, attention.py:370-377)
+        if cfg.kd_self_teacher and attention_scores_truth is None and training:
+            self_scores = jnp.einsum(
+                "nhtd,nhsd->nhts",
+                jax.lax.stop_gradient(q_for_score),
+                jax.lax.stop_gradient(k_for_score),
+            )
+            amask_st = causal_attention_mask if cfg.causal else attention_mask
+            attention_scores_truth = self_scores + amask_st
+            context_layer_truth = None
 
         bench.register_temp_buffer("q", q)
         bench.register_temp_buffer("k", k)

@@ -55,3 +55,33 @@ def test_enc_per_layer_variant():
     flat = jax.tree_util.tree_flatten_with_path(params["params"])[0]
     names = ["/".join(str(getattr(x, "key", x)) for x in p) for p, _ in flat]
     assert any("enc_per_layer_dense" in n for n in names)
+
+
+def test_cnn_deeper_variant():
+    cfg = small_cfg(causal=True, cnn_deeper=True)
+    inputs = make_inputs(cfg, N=1, T=32)
+    params, out = init_and_run(cfg, benchmarking=False, inputs=inputs)
+    assert np.isfinite(np.asarray(out.context_layer)).all()
+    flat = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    names = ["/".join(str(getattr(x, "key", x)) for x in p) for p, _ in flat]
+    assert any("cnn_conv3" in n for n in names)
+
+
+def test_kd_self_teacher():
+    """Without a teacher, self-teacher mode produces a nonzero distill loss
+    against the student's own detached dense scores."""
+    cfg = small_cfg(causal=True, kd_self_teacher=True)
+    inputs = make_inputs(cfg, N=1, T=32)
+    q, k, v, mask, truth, ctx = inputs
+    from sea_tpu.models.attention import SeaAttention
+
+    model = SeaAttention(cfg)
+    params = jax.jit(
+        lambda: model.init(jax.random.key(0), q, k, v, q, k, v, q, k, mask)
+    )()
+    out = jax.jit(
+        lambda p: model.apply(
+            p, q, k, v, q, k, v, q, k, mask, training=True
+        )
+    )(params)
+    assert float(out.loss) > 0
