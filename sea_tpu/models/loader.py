@@ -124,7 +124,9 @@ def student_from_teacher(student_variables, teacher_params):
                 k: merge(v, tea[k]) if (isinstance(tea, dict) and k in tea) else v
                 for k, v in stu.items()
             }
-        return jnp.asarray(tea) if tea is not None else stu
+        # copy=True: the student must own distinct buffers, otherwise buffer
+        # donation in the train step would invalidate the teacher's params
+        return jnp.array(tea, copy=True) if tea is not None else stu
 
     merged = dict(student_variables)
     merged["params"] = merge(student_variables["params"], teacher_params)

@@ -68,6 +68,15 @@ class TrainerConfig:
     data_parallel: bool = False
 
 
+def _dealias(tree):
+    """Freshly-initialised optimizer states can alias identical zero
+    buffers, which breaks donation ("donate the same buffer twice");
+    force distinct buffers."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True) if hasattr(x, "shape") else x, tree
+    )
+
+
 def tiny_configs() -> Tuple[OptConfig, OptConfig]:
     sea = SeaConfig(
         num_heads=2, head_dim=8, predictor_length=8, k=2,
@@ -176,11 +185,16 @@ class OptTrainer:
             )
             self.combined_params = combined.pop("params")
             self.combined_extra = combined
-            self.opt_state = self.tx.init(self.combined_params)
-            self._train_step = jax.jit(self._train_step_scan_impl, **jit_kw)
+            self.opt_state = _dealias(self.tx.init(self.combined_params))
+            # donate params/opt-state so old and new buffers never coexist
+            self._train_step = jax.jit(
+                self._train_step_scan_impl, donate_argnums=(0, 1), **jit_kw
+            )
         else:
-            self.opt_state = self.tx.init(self.s_params)
-            self._train_step = jax.jit(self._train_step_impl, **jit_kw)
+            self.opt_state = _dealias(self.tx.init(self.s_params))
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0, 1), **jit_kw
+            )
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
