@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 ITERS = 20
+ITERS_CPU = 2  # interpret mode is seconds-per-call; smoke only
 
 
 def host_topk_mask(N, H, T, T_M, K, seed=0):
@@ -46,7 +47,9 @@ def main():
     if on_tpu:
         N, H, T, D, T_M, K = 1, 12, 4096, 64, 256, 64
     else:  # CPU smoke mode
-        N, H, T, D, T_M, K = 1, 4, 512, 64, 64, 16
+        N, H, T, D, T_M, K = 1, 2, 256, 64, 32, 16
+        global ITERS
+        ITERS = ITERS_CPU
 
     from sea_tpu.ops.kernels.block_sparse import (
         mask_nnz,

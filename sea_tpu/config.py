@@ -84,10 +84,15 @@ class SeaConfig:
     # static nnz budget per query row in the uniform-CSR sparse path; when None
     # derived from k/predictor_length/seq at trace time (see `max_nnz_for`)
     max_nnz: Optional[int] = None
-    # uniform-CSR block row size for pallas kernels
-    block_q: int = 128
+    # fused-kernel query block size override; None = auto (largest of
+    # 512/256/128 dividing the padded sequence)
+    block_q: Optional[int] = None
     # use the fused pallas sparse kernels (else pure-XLA gather path)
     use_pallas: bool = True
+    # task-only training (no KD truth tensors) through the differentiable
+    # fused kernel (custom_vjp flash backward) instead of the dense O(T^2)
+    # resize+softmax — the long-context fine-tuning path
+    use_fused_train: bool = False
 
     @property
     def effective_k(self) -> int:
@@ -142,7 +147,19 @@ class SeaConfig:
                 "(reference config.py:44-47)"
             )
         assert self.predictor_method in ("mlp", "comp")
+        assert self.predictor_backend in ("performer", "cosformer")
+        assert self.context_output_method in ("mix", "norm")
         assert self.k_flatten_dim in ("causal_batch", "batch", "head", "query")
+        if self.out_add_performer_context:
+            # the performer context has 2D channels and cannot be added to
+            # the D-channel output — the reference raises the same way
+            # (attention.py:1301-1305 'performer context hidden size is
+            # modified')
+            raise ValueError(
+                "out_add_performer_context is rejected for the same reason "
+                "the reference raises: the performer context carries 2*D "
+                "channels (identity ‖ v) and cannot be residually added"
+            )
         return self
 
 

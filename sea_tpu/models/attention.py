@@ -117,6 +117,27 @@ class SeaAttention(nn.Module):
             ),
         )
 
+        # cosformer estimator backend (reference attention.py:169-178:
+        # CosformerAttention(embed_dim, vdim=2*embed_dim, no out-proj))
+        if cfg.predictor_backend == "cosformer":
+            from ..ops.cosformer import CosformerAttention
+
+            self.cosformer_backend = CosformerAttention(
+                embed_dim=H * D,
+                vdim=H * D * 2,
+                num_heads=H,
+                has_outproj=False,
+                causal=cfg.causal,
+                name="cosformer_backend",
+            )
+
+        # 'norm' context output method (reference attention.py:1290-1317):
+        # residual LayerNorm over the merged context + optional final norm
+        if cfg.context_output_method == "norm":
+            self.norm_partial = nn.LayerNorm(name="norm_partial")
+        if cfg.out_norm:
+            self.out_norm_ln = nn.LayerNorm(name="out_norm_ln")
+
         # predictor encoder: Linear(3D -> 2D) + LN + GELU (attention.py:190-196)
         self.enc_dense = nn.Dense(D * 2, name="enc_dense")
         self.enc_ln = nn.LayerNorm(name="enc_ln")
@@ -177,6 +198,17 @@ class SeaAttention(nn.Module):
             )
 
     # ------------------------------------------------------------------
+    def _context_output(self, pcl: jnp.ndarray) -> jnp.ndarray:
+        """Stage 9 output method on the merged (N, T, H*D) context
+        (reference attention.py:1290-1321): 'mix' is identity; 'norm' adds a
+        LayerNorm residual; out_norm applies a final LayerNorm."""
+        cfg = self.cfg
+        if cfg.context_output_method == "norm":
+            pcl = self.norm_partial(pcl) + pcl
+        if cfg.out_norm:
+            pcl = self.out_norm_ln(pcl)
+        return pcl
+
     def _identity_values(self, v_for_atten, zero_one_mask, t_src):
         """Stage 1 "vmask": the identity-value channel.
 
@@ -296,15 +328,34 @@ class SeaAttention(nn.Module):
 
         # --- 2 "performer" (fp32 island, attention.py:518-573) ------------
         with bench.region("performer"):
-            proj = self.performer_proj.value
-            performer_context_layer = fast_attention(
-                q_for_atten.astype(jnp.float32),
-                k_for_atten.astype(jnp.float32),
-                v_for_atten.astype(jnp.float32),
-                proj,
-                causal=cfg.causal,
-                generalized=cfg.causal,
-            ).astype(q_for_atten.dtype)
+            if cfg.predictor_backend == "cosformer":
+                # sequence-first layout (reference attention.py:535-547)
+                _D2 = v_for_atten.shape[-1]
+
+                def to_seq(x, d):
+                    return jnp.transpose(
+                        jnp.transpose(x, (0, 2, 1, 3)).reshape(N, -1, H * d),
+                        (1, 0, 2),
+                    ).astype(jnp.float32)
+
+                t_out = self.cosformer_backend(
+                    to_seq(q_for_atten, D),
+                    to_seq(k_for_atten, D),
+                    to_seq(v_for_atten, _D2),
+                )  # (T, N, H*2D)
+                performer_context_layer = jnp.transpose(
+                    t_out.reshape(-1, N, H, _D2), (1, 2, 0, 3)
+                ).astype(q_for_atten.dtype)
+            else:
+                proj = self.performer_proj.value
+                performer_context_layer = fast_attention(
+                    q_for_atten.astype(jnp.float32),
+                    k_for_atten.astype(jnp.float32),
+                    v_for_atten.astype(jnp.float32),
+                    proj,
+                    causal=cfg.causal,
+                    generalized=cfg.causal,
+                ).astype(q_for_atten.dtype)
             bench.register_temp_buffer(
                 "performer_context_layer", performer_context_layer
             )
@@ -472,17 +523,30 @@ class SeaAttention(nn.Module):
         # Fused Pallas fast path: one kernel replaces interp + the 4-step
         # sparse chain (tile-skipped flash attention over the compressed
         # mask; element mask uses the dense-resize semantics so this path is
-        # exactly consistent with the train path). Causal only for now
-        # (the padded-BERT width bookkeeping stays on the CSR path).
+        # exactly consistent with the train path). Non-128-multiple lengths
+        # are padded inside the kernel wrapper; k_oversample applies the
+        # train path's keep-predicate in-kernel (causal). The only remaining
+        # CSR route is the non-causal oversampled combination, which no
+        # reference config uses (BERT runs k_oversample=1).
         use_fused = (
             benchmarking
             and cfg.use_pallas
-            and cfg.k_oversample == 1.0
-            and T_DST % 128 == 0
-            and T_SRC % 128 == 0
             and (cfg.causal or T_DST == T_SRC)
+            and (cfg.causal or cfg.k_oversample == 1.0)
         )
-        if use_fused:
+        # task-only training (no KD truths): the differentiable fused kernel
+        # (custom_vjp flash backward) replaces the dense O(T^2) resize+softmax
+        # — long-context fine-tuning escapes the quadratic train path
+        use_fused_train = (
+            (not benchmarking)
+            and cfg.use_fused_train
+            and cfg.use_pallas
+            and cfg.causal
+            and attention_scores_truth is None
+            and context_layer_truth is None
+            and cfg.k_oversample == 1.0
+        )
+        if use_fused or use_fused_train:
             with bench.region("attention.fused"):
                 estimated_scales = self.dec_scaler(t_attention_predictor)
                 row_scaler = (
@@ -501,16 +565,81 @@ class SeaAttention(nn.Module):
                     lengths = zero_one_attention_mask[:, 0, 0, :].sum(-1).astype(
                         jnp.int32
                     )
-                partial_context_layer = sea_block_sparse_attention(
-                    q_kern,
-                    k_for_score,
-                    v,
-                    (partial_attention_mask_m > 0).astype(q.dtype),
-                    row_scaler,
-                    is_causal=cfg.causal,
-                    lengths=lengths,
-                    interpret=jax.default_backend() != "tpu",
-                )
+                from ..parallel.context import current_attention_sharding
+
+                # train-mode top-k masks are additive {0, FP_MIN}; benchmark
+                # masks are binary {0, 1}
+                alive_thresh = -1.0 if use_fused_train else 0.0
+                mask_bin = (partial_attention_mask_m > alive_thresh).astype(q.dtype)
+                interp = jax.default_backend() != "tpu"
+                shard_ctx = current_attention_sharding()
+                if use_fused_train:
+                    from ..ops.kernels.block_sparse import fused_sparse_attention
+
+                    def auto_block(t):
+                        for b in (512, 256, 128):
+                            if t % b == 0:
+                                return b
+                        raise ValueError(
+                            f"use_fused_train needs lane-multiple T, got {t}"
+                        )
+
+                    bq = cfg.block_q or auto_block(T_DST)
+                    scaler_arr = (
+                        row_scaler
+                        if row_scaler is not None
+                        else jnp.ones((N, H, T_DST), q.dtype)
+                    )
+                    partial_context_layer = fused_sparse_attention(
+                        q_kern, k_for_score, v, mask_bin, scaler_arr,
+                        bq, auto_block(T_SRC), interp,
+                    )
+                elif shard_ctx is not None and cfg.causal:
+                    # multi-chip benchmark path: shard_map'd fused kernel over
+                    # the sp mesh axis (sequence zigzag or head partitioning)
+                    from ..parallel.sharded_attention import (
+                        head_sharded_sea_attention,
+                        sharded_sea_attention,
+                    )
+
+                    scaler_arr = (
+                        row_scaler
+                        if row_scaler is not None
+                        else jnp.ones((N, H, T_DST), q.dtype)
+                    )
+                    if shard_ctx.kind == "head":
+                        partial_context_layer = head_sharded_sea_attention(
+                            q_kern, k_for_score, v, mask_bin, scaler_arr,
+                            shard_ctx.mesh, axis=shard_ctx.axis,
+                            is_causal=True, block_q=shard_ctx.block_q,
+                            block_k=shard_ctx.block_k,
+                            oversample=cfg.k_oversample,
+                            k_cfg=float(cfg.effective_k), interpret=interp,
+                        )
+                    else:
+                        partial_context_layer = sharded_sea_attention(
+                            q_kern, k_for_score, v, mask_bin, scaler_arr,
+                            shard_ctx.mesh, axis=shard_ctx.axis,
+                            zigzag=shard_ctx.zigzag,
+                            block_q=shard_ctx.block_q,
+                            block_k=shard_ctx.block_k,
+                            oversample=cfg.k_oversample,
+                            k_cfg=float(cfg.effective_k), interpret=interp,
+                        )
+                else:
+                    partial_context_layer = sea_block_sparse_attention(
+                        q_kern,
+                        k_for_score,
+                        v,
+                        mask_bin,
+                        row_scaler,
+                        is_causal=cfg.causal,
+                        lengths=lengths,
+                        block_q=cfg.block_q,
+                        oversample=cfg.k_oversample if cfg.causal else 1.0,
+                        k_cfg=float(cfg.effective_k),
+                        interpret=interp,
+                    )
                 partial_attention_probs = None
                 partial_attention_mask = partial_attention_mask_m
                 attention_probs_dense = None
@@ -535,6 +664,7 @@ class SeaAttention(nn.Module):
                 )
             partial_context_layer = jnp.transpose(partial_context_layer, (0, 2, 1, 3))
             partial_context_layer = partial_context_layer.reshape(N, T_DST, H * D)
+            partial_context_layer = self._context_output(partial_context_layer)
             bench.register_temp_buffer("partial_context_layer", partial_context_layer)
             return SeaAttentionOutput(
                 loss=loss,
@@ -674,6 +804,7 @@ class SeaAttention(nn.Module):
         # --- 9 output (attention.py:1279-1359) ------------------------------
         partial_context_layer = jnp.transpose(partial_context_layer, (0, 2, 1, 3))
         partial_context_layer = partial_context_layer.reshape(N, T_DST, H * D)
+        partial_context_layer = self._context_output(partial_context_layer)
 
         if (not benchmarking) and context_layer_truth is not None:
             loss = loss + jnp.mean(
@@ -730,7 +861,14 @@ class SeaAttention(nn.Module):
         is the exact prefix sum, and the 24-row CNN window covers the
         dilated stack's receptive field."""
         cfg = self.cfg
+        assert cfg.use_cache, (
+            "decode requires SeaConfig(use_cache=True) — the reference gates "
+            "PerlinAttentionState threading on pconfig.use_cache"
+        )
         assert cfg.causal and cfg.predictor_method == "mlp"
+        assert cfg.predictor_backend == "performer", (
+            "decode cache implements the FAVOR+ prefix only"
+        )
         N, H, _, D = q.shape
         T_M = cfg.predictor_length
         max_len = state.k_cache.shape[2]

@@ -12,17 +12,33 @@ flash-style kernel that:
   * skips (BQ x BK) tiles with no alive column, using per-tile activity
     lists computed by interval math in the *compressed* domain (the
     splash-attention block-skipping idea, driven by SEA's dynamic mask);
-  * expands the mask *inside the kernel arithmetically*: the compressed row
-    mask is bit-packed into T_M/32 uint32 words; each tile computes its
-    pixel indices with iota math and extracts bits with a static select
-    chain + variable shifts — no gathers anywhere, so prep is O(T*T_M)
-    instead of the O(T^2) element-mask materialisation;
-  * computes q.k^T on the MXU for active tiles, runs an online-softmax
-    (flash) accumulation of P.V, and fuses the per-(row,head) sigmoid
-    scaler into the output.
+  * expands the mask *inside the kernel arithmetically* — no gathers, and
+    (v2, causal path) at minimum VPU cost:
+      - pixel index = one fused multiply-add per element
+        (pix = trunc(col*a_r + b_r), bit-exact with the reference formula —
+        verified exhaustively up to T=8192 in scripts/analyze_tile_activity.py);
+      - the packed mask word is selected from TWO per-row candidates
+        (c0=word[wlo], c1=word[wlo+1]) whenever the row is wide enough that a
+        128-column sub-tile spans <= 2 mask words (w >= 4*T_M); narrow rows
+        (<7% of causal elements at T=4096) take the full select chain;
+      - no clip and no causal compare: columns past the causal width map to
+        pixel >= T_M, whose mask word/bits are zero by construction, so they
+        die for free;
+      - the mask folds into the score arithmetically (dead score = -2e30
+        against an m-floor of -1e30), so exp() underflows dead lanes to 0
+        and no post-exp select is needed.
+  * computes q.k^T on the MXU per 128-wide sub-tile (only those with any
+    alive column), accumulates scores into a (BQ, BKO) VMEM staging buffer,
+    and runs ONE online-softmax (flash) update per 512-wide outer tile,
+    fusing the per-(row,head) sigmoid scaler into the epilogue.
 
 Heads fold into the batch grid dimension, which realises the per-(row,
 head) segmented-softmax semantics of `flat_csr_softmax` exactly.
+
+k_oversample != 1 applies the train path's undersampling keep-predicate
+(reference `resize_m_to_t.py:54-71`) inside the kernel with the same f32
+expression order, and non-128-multiple sequence lengths are zero-padded in
+the wrapper — no config routes to a slow fallback.
 """
 
 from __future__ import annotations
@@ -38,6 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+DEAD = -2.0e30  # masked score; exp(DEAD - m) == 0 for any m >= M_INIT
+M_INIT = -1.0e30  # running-max floor
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +87,72 @@ def _pixel_starts(widths: jnp.ndarray, t_m: int) -> Tuple[jnp.ndarray, jnp.ndarr
     return bounds[:, :-1], bounds[:, 1:]
 
 
+def _causal_activity(
+    mask_m: jnp.ndarray,
+    t_src: int,
+    block_q: int,
+    block_k: int,
+    row_widths: Optional[jnp.ndarray] = None,
+    row_chunk: int = 512,
+) -> jnp.ndarray:
+    """(N, H, NQ, NKB) bool: q-block x k-block has >=1 alive column
+    (conservative superset via compressed-domain interval overlap)."""
+    N, H, T_DST, T_M = mask_m.shape
+    NQ, NKB = T_DST // block_q, t_src // block_k
+    m = mask_m > 0
+
+    rows = jnp.arange(T_DST, dtype=jnp.float32)
+    if row_widths is not None:
+        widths = row_widths.astype(jnp.float32)
+    else:
+        widths = rows + 1.0
+    vs, ve = _pixel_starts(widths, T_M)  # (T_DST, T_M)
+    lo_blk = jnp.maximum(vs - 1, 0) // block_k
+    hi_blk = jnp.minimum(ve, widths.astype(jnp.int32)[:, None] - 1) // block_k
+    nonempty = ve > vs
+
+    j_ids = jnp.arange(NKB, dtype=jnp.int32)
+    n_chunks = (T_DST + row_chunk - 1) // row_chunk
+    pad = n_chunks * row_chunk - T_DST
+    m_p = jnp.pad(m.reshape(N * H, T_DST, T_M), ((0, 0), (0, pad), (0, 0)))
+    lo_p = jnp.pad(lo_blk, ((0, pad), (0, 0)))
+    hi_p = jnp.pad(hi_blk, ((0, pad), (0, 0)), constant_values=-1)
+    ne_p = jnp.pad(nonempty, ((0, pad), (0, 0)))
+
+    def chunk_fn(ci):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, ci * row_chunk, row_chunk, 0)
+        m_c = jax.lax.dynamic_slice_in_dim(m_p, ci * row_chunk, row_chunk, 1)
+        lo_c, hi_c, ne_c = sl(lo_p), sl(hi_p), sl(ne_p)
+        inside = (
+            (j_ids[None, None, :] >= lo_c[:, :, None])
+            & (j_ids[None, None, :] <= hi_c[:, :, None])
+            & ne_c[:, :, None]
+        )  # (RC, T_M, NKB)
+        return jnp.einsum(
+            "nrb,rbj->nrj",
+            m_c.astype(jnp.float32),
+            inside.astype(jnp.float32),
+        ) > 0
+
+    act = jax.lax.map(chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32))
+    act = jnp.moveaxis(act, 0, 1).reshape(N * H, n_chunks * row_chunk, NKB)
+    return act[:, :T_DST].reshape(N, H, NQ, block_q, NKB).any(axis=3)
+
+
+def _compact_lists(act: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """act (..., NKB) bool -> (counts, idx) with idx padded by repeating the
+    last active block (skipped grid steps refetch nothing)."""
+    NKB = act.shape[-1]
+    counts = act.sum(-1).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(act, 0, 1), axis=-1, stable=True)
+    ar = jnp.arange(NKB, dtype=jnp.int32)
+    within = ar[None, None, None, :] < jnp.maximum(counts[..., None], 1)
+    idx = jnp.where(within, order, 0).astype(jnp.int32)
+    last = jnp.take_along_axis(idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1)
+    idx = jnp.where(within, idx, last)
+    return counts, idx
+
+
 def tile_activity_lists(
     mask_m: jnp.ndarray,
     t_src: int,
@@ -83,8 +167,7 @@ def tile_activity_lists(
     compressed-domain interval overlap (conservative superset: run bounds
     padded by one column against fp boundary rounding).
 
-    Returns (counts (N,H,NQ) int32, idx (N,H,NQ,NKB) int32), idx padded by
-    repeating the last active block (skipped grid steps refetch nothing)."""
+    Returns (counts (N,H,NQ) int32, idx (N,H,NQ,NKB) int32)."""
     N, H, T_DST, T_M = mask_m.shape
     NQ, NKB = T_DST // block_q, t_src // block_k
     m = mask_m > 0
@@ -110,70 +193,299 @@ def tile_activity_lists(
             "nhrb,nbj->nhrj", m.astype(jnp.float32), inside.astype(jnp.float32)
         ) > 0  # (N, H, T_DST, NKB)
         act = act.reshape(N, H, NQ, block_q, NKB).any(axis=3)
-        counts = act.sum(-1).astype(jnp.int32)
-        order = jnp.argsort(jnp.where(act, 0, 1), axis=-1, stable=True)
-        ar = jnp.arange(NKB, dtype=jnp.int32)
-        within = ar[None, None, None, :] < jnp.maximum(counts[..., None], 1)
-        idx = jnp.where(within, order, 0).astype(jnp.int32)
-        last = jnp.take_along_axis(idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1)
-        idx = jnp.where(within, idx, last)
-        return counts, idx
+        return _compact_lists(act)
 
-    rows = jnp.arange(T_DST, dtype=jnp.float32)
-    if row_widths is not None:
-        widths = row_widths.astype(jnp.float32)
-    elif is_causal:
-        widths = rows + 1.0
+    if is_causal:
+        act = _causal_activity(mask_m, t_src, block_q, block_k, row_widths, row_chunk)
     else:
         widths = jnp.full((T_DST,), float(t_src))
-    vs, ve = _pixel_starts(widths, T_M)  # (T_DST, T_M)
-    lo_blk = jnp.maximum(vs - 1, 0) // block_k  # (T_DST, T_M)
-    hi_blk = jnp.minimum(ve, widths.astype(jnp.int32)[:, None] - 1) // block_k
-    nonempty = ve > vs
-
-    # activity[r, j] = any_b m[r,b] & nonempty & lo<=j<=hi, chunked over rows
-    j_ids = jnp.arange(NKB, dtype=jnp.int32)
-
-    n_chunks = (T_DST + row_chunk - 1) // row_chunk
-    pad = n_chunks * row_chunk - T_DST
-    m_p = jnp.pad(m.reshape(N * H, T_DST, T_M), ((0, 0), (0, pad), (0, 0)))
-    lo_p = jnp.pad(lo_blk, ((0, pad), (0, 0)))
-    hi_p = jnp.pad(hi_blk, ((0, pad), (0, 0)), constant_values=-1)
-    ne_p = jnp.pad(nonempty, ((0, pad), (0, 0)))
-
-    def chunk_fn(ci):
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, ci * row_chunk, row_chunk, 0)
-        m_c = jax.lax.dynamic_slice_in_dim(m_p, ci * row_chunk, row_chunk, 1)
-        lo_c, hi_c, ne_c = sl(lo_p), sl(hi_p), sl(ne_p)
-        # (RC, T_M, NKB) bool — 512*256*32 = 4M per chunk
-        inside = (
-            (j_ids[None, None, :] >= lo_c[:, :, None])
-            & (j_ids[None, None, :] <= hi_c[:, :, None])
-            & ne_c[:, :, None]
+        act = _causal_activity(
+            mask_m, t_src, block_q, block_k, row_widths=widths, row_chunk=row_chunk
         )
-        # (NH, RC, NKB)
-        return jnp.einsum(
-            "nrb,rbj->nrj",
-            m_c.astype(jnp.float32),
-            inside.astype(jnp.float32),
-        ) > 0
+    return _compact_lists(act)
 
-    act = jax.lax.map(chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32))
-    act = jnp.moveaxis(act, 0, 1).reshape(N * H, n_chunks * row_chunk, NKB)
-    act = act[:, :T_DST].reshape(N, H, NQ, block_q, NKB).any(axis=3)
 
-    counts = act.sum(-1).astype(jnp.int32)
-    order = jnp.argsort(jnp.where(act, 0, 1), axis=-1, stable=True)
-    ar = jnp.arange(NKB, dtype=jnp.int32)
-    within = ar[None, None, None, :] < jnp.maximum(counts[..., None], 1)
-    idx = jnp.where(within, order, 0).astype(jnp.int32)
-    last = jnp.take_along_axis(idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1)
-    idx = jnp.where(within, idx, last)
-    return counts, idx
+def tile_activity_sub(
+    mask_m: jnp.ndarray,
+    t_src: int,
+    block_q: int,
+    block_ko: int,
+    sub: int,
+    row_widths: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Causal activity at `sub` granularity grouped under `block_ko` outer
+    k-blocks. Returns (counts (N,H,NQ), idx (N,H,NQ,NKO), submask
+    (N,H,NQ,NKO) int32 bitmask of active sub-tiles, aligned with idx)."""
+    spb = block_ko // sub
+    act = _causal_activity(mask_m, t_src, block_q, sub, row_widths)  # (..., NKBi)
+    N, H, NQ, NKBi = act.shape
+    NKO = NKBi // spb
+    grouped = act.reshape(N, H, NQ, NKO, spb)
+    bits = jnp.sum(
+        grouped.astype(jnp.int32) * (1 << jnp.arange(spb, dtype=jnp.int32)), axis=-1
+    )
+    counts, idx = _compact_lists(grouped.any(-1))
+    submask = jnp.take_along_axis(bits, idx, axis=-1)
+    return counts, idx, submask
 
 
 # ---------------------------------------------------------------------------
-# The kernel
+# causal kernel, 'flat' impl (default): one (BQ, BK) tile per grid step,
+# masking with fma pixel math + full word-select chain, mask folded into the
+# score via the DEAD/M_INIT trick (no clip, no causal compare, no post-exp
+# select — measured fastest on v5e)
+# ---------------------------------------------------------------------------
+
+
+def _causal_kernel_flat(
+    counts_ref,  # scalar prefetch: (NH, NQ)
+    idx_ref,  # scalar prefetch: (NH, NQ, NKB)
+    submask_ref,  # scalar prefetch: (NH, NQ, NKB) — unused here
+    rowbase_ref,  # scalar prefetch: (NH, NQ)
+    q_ref,  # (1, BQ, D)
+    k_ref,  # (1, BK, D)
+    v_ref,  # (1, BK, D)
+    mbits_ref,  # (1, BQ, n_words) uint32
+    scale_ref,  # (1, BQ, 128)
+    o_ref,  # (1, BQ, D)
+    m_scr,  # (BQ, 128) f32
+    l_scr,  # (BQ, 128) f32
+    acc_scr,  # (BQ, D) f32
+    *,
+    t_m: int,
+    block_q: int,
+    block_k: int,
+    n_words: int,
+    oversample: float,
+    k_cfg: float,
+):
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    count = counts_ref[h, i]
+    BQ, BK = block_q, block_k
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, M_INIT)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j < count)
+    def _compute():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK) f32
+
+        bk = idx_ref[h, i, j]
+        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        a = (1.0 / w) * jnp.float32(t_m)
+        b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
+        u = colio * a + b2
+        # trunc == floor+low-clip for u > -1; columns past the causal width
+        # land on pixel >= T_M whose packed word/bits are zero -> dead
+        pix = u.astype(jnp.int32)
+        word_idx = pix >> 5
+        bit_idx = (pix & 31).astype(jnp.uint32)
+        word = jnp.zeros((BQ, BK), jnp.uint32)
+        for wi in range(n_words):
+            wcol = mbits_ref[0, :, wi][:, None]
+            word = jnp.where(word_idx == wi, wcol, word)
+        alive = ((word >> bit_idx) & 1) == 1
+        if oversample != 1.0:
+            ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
+            oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
+            thr = (1.0 / oys) * 0.5 + 1e-4
+            xs1 = colio + (bk * BK + 1).astype(jnp.float32)
+            frac = xs1 / w * ps  # exact train-path expression order
+            keep = jnp.abs(frac - jnp.floor(frac + 0.5)) <= thr
+            alive = alive & keep
+        s = jnp.where(alive, s, DEAD)
+
+        m_prev = m_scr[:, 0:1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)  # dead lanes underflow to exactly 0
+        corr = jnp.exp(m_prev - m_cur)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        scale = scale_ref[0][:, 0:1].astype(jnp.float32)
+        o_ref[0] = (acc_scr[:] / safe_l * scale).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# causal kernel, 'subtile' impl: 128-wide sub-tile masking with 2-candidate
+# word select + score staging buffer (kept for block-size experiments; slower
+# than 'flat' on v5e at the canonical config)
+# ---------------------------------------------------------------------------
+
+
+def _causal_kernel(
+    counts_ref,  # scalar prefetch: (NH, NQ)
+    idx_ref,  # scalar prefetch: (NH, NQ, NKO)
+    submask_ref,  # scalar prefetch: (NH, NQ, NKO)
+    rowbase_ref,  # scalar prefetch: (NH, NQ) global base row id per q-block
+    q_ref,  # (1, BQ, D)
+    k_ref,  # (1, BKO, D)
+    v_ref,  # (1, BKO, D)
+    mbits_ref,  # (1, BQ, n_words) uint32 — compressed-domain packed mask
+    scale_ref,  # (1, BQ, 128) row scaler (broadcast over lanes)
+    o_ref,  # (1, BQ, D)
+    s_buf,  # (BQ, BKO) f32 score staging
+    m_scr,  # (BQ, 128) f32
+    l_scr,  # (BQ, 128) f32
+    acc_scr,  # (BQ, D) f32
+    *,
+    t_m: int,
+    block_q: int,
+    block_ko: int,
+    sub: int,
+    n_words: int,
+    oversample: float,
+    k_cfg: float,
+):
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    count = counts_ref[h, i]
+    nsub = block_ko // sub
+    BQ = block_q
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, M_INIT)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j < count)
+    def _compute():
+        bk = idx_ref[h, i, j]
+        sm = submask_ref[h, i, j]
+        rowbase = rowbase_ref[h, i]
+
+        # per-row constants (BQ, 1)
+        rows = rowbase + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        a = (1.0 / w) * jnp.float32(t_m)  # pixel slope
+        base = a * 0.5 - 1e-4
+        # candidate-word row indices at the first column of each sub-tile
+        # are computed inside the sub loop (they depend on the sub offset).
+        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, sub), 1).astype(jnp.float32)
+
+        if oversample != 1.0:
+            # train-path undersampling constants (reference resize_m_to_t.py:54-71)
+            ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
+            oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
+            thr = (1.0 / oys) * 0.5 + 1e-4
+        else:
+            ps = thr = None
+
+        # a 128-wide sub-tile spans <=2 mask words iff w*32 >= t_m*sub
+        short_ok = (rowbase + 1) * 32 >= t_m * sub
+
+        def sub_scores(ss, short: bool):
+            s0 = bk * block_ko + ss * sub
+            sc = jax.lax.dot_general(
+                q_ref[0],
+                k_ref[0, ss * sub : (ss + 1) * sub, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, sub) f32
+            b2 = s0.astype(jnp.float32) * a + base  # (BQ,1)
+            u = colio * a + b2
+            pix = u.astype(jnp.int32)  # trunc == floor+low-clip for u > -1
+            word_idx = pix >> 5
+            bit_idx = (pix & 31).astype(jnp.uint32)
+            if short:
+                pix0 = b2.astype(jnp.int32)
+                wlo = pix0 >> 5
+                c0 = jnp.zeros((BQ, 1), jnp.uint32)
+                c1 = jnp.zeros((BQ, 1), jnp.uint32)
+                for wi in range(n_words):
+                    wcol = mbits_ref[0, :, wi][:, None]
+                    c0 = jnp.where(wlo == wi, wcol, c0)
+                    c1 = jnp.where(wlo + 1 == wi, wcol, c1)
+                word = jnp.where(
+                    word_idx == wlo, c0, jnp.where(word_idx == wlo + 1, c1, 0)
+                )
+            else:
+                word = jnp.zeros((BQ, sub), jnp.uint32)
+                for wi in range(n_words):
+                    wcol = mbits_ref[0, :, wi][:, None]
+                    word = jnp.where(word_idx == wi, wcol, word)
+            alive = ((word >> bit_idx) & 1) == 1
+            if oversample != 1.0:
+                xs1 = colio + (s0 + 1).astype(jnp.float32)
+                frac = xs1 / w * ps  # exact train-path expression order
+                keep = jnp.abs(frac - jnp.floor(frac + 0.5)) <= thr
+                alive = alive & keep
+            return jnp.where(alive, sc, DEAD)
+
+        for ss in range(nsub):
+            lo, hi = ss * sub, (ss + 1) * sub
+
+            @pl.when(((sm >> ss) & 1) == 0)
+            def _fill(lo=lo, hi=hi):
+                s_buf[:, lo:hi] = jnp.full((BQ, sub), DEAD, jnp.float32)
+
+        @pl.when(short_ok)
+        def _short():
+            for ss in range(nsub):
+
+                @pl.when(((sm >> ss) & 1) == 1)
+                def _do(ss=ss):
+                    s_buf[:, ss * sub : (ss + 1) * sub] = sub_scores(ss, True)
+
+        @pl.when(jnp.logical_not(short_ok))
+        def _long():
+            for ss in range(nsub):
+
+                @pl.when(((sm >> ss) & 1) == 1)
+                def _do(ss=ss):
+                    s_buf[:, ss * sub : (ss + 1) * sub] = sub_scores(ss, False)
+
+        # one flash update over the whole outer tile
+        s = s_buf[:]
+        m_prev = m_scr[:, 0:1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)  # dead lanes underflow to exactly 0
+        corr = jnp.exp(m_prev - m_cur)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        scale = scale_ref[0][:, 0:1].astype(jnp.float32)
+        o_ref[0] = (acc_scr[:] / safe_l * scale).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# v1 generic kernel (kept for the padded bidirectional path)
 # ---------------------------------------------------------------------------
 
 
@@ -271,6 +583,15 @@ def _kernel(
         o_ref[0] = (acc_scr[:] / safe_l * scale).astype(o_ref.dtype)
 
 
+def _pad_to(x: jnp.ndarray, axis: int, target: int, value=0):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=value)
+
+
 def sea_block_sparse_attention(
     q: jnp.ndarray,  # (N, H, T_DST, D) — pre-scaled
     k: jnp.ndarray,  # (N, H, T_SRC, D)
@@ -283,6 +604,10 @@ def sea_block_sparse_attention(
     row_base: Optional[jnp.ndarray] = None,  # (NQ,) global base row per block
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    sub_block: int = 128,
+    oversample: float = 1.0,
+    k_cfg: float = 64.0,
+    impl: str = "flat",  # 'flat' | 'subtile' (causal-only knob)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused sparse attention: softmax(mask(q.k^T)) . v * scaler.
@@ -290,14 +615,27 @@ def sea_block_sparse_attention(
     Per-(row, head) softmax over alive columns only; rows with no alive
     column produce zeros (matching `flat_csr_softmax` zero-nnz behaviour).
 
-    Block sizes default to the largest of (512, 256, 128) dividing the
-    sequence — larger tiles amortise the VPU mask-expansion and grid-step
-    overheads (measured on v5e: 512/512 ~3.3x faster than 128/128 at
-    T=4096); shrink block_k for very concentrated masks to regain skipping
-    granularity."""
-    N, H, T_DST, D = q.shape
-    T_SRC = k.shape[2]
+    Sequence lengths that are not multiples of the lane width are padded
+    here (padded rows have empty masks and are sliced off); `oversample`
+    applies the train path's undersampling keep-predicate in-kernel."""
+    N, H, T_DST0, D = q.shape
+    T_SRC0 = k.shape[2]
     T_M = mask_m.shape[-1]
+
+    # pad sequence dims to lane multiples (padded rows are fully dead)
+    T_DST = ((T_DST0 + 127) // 128) * 128
+    T_SRC = ((T_SRC0 + 127) // 128) * 128
+    if T_DST != T_DST0 or T_SRC != T_SRC0:
+        assert row_base is None, "row_base requires pre-padded shards"
+        q = _pad_to(q, 2, T_DST)
+        k = _pad_to(k, 2, T_SRC)
+        v = _pad_to(v, 2, T_SRC)
+        mask_m = _pad_to(mask_m, 2, T_DST)
+        if row_scaler is not None:
+            row_scaler = _pad_to(row_scaler, 2, T_DST)
+        if not is_causal and lengths is None:
+            # plain bidirectional: the resize width must stay the real T_SRC
+            lengths = jnp.full((N,), T_SRC0, jnp.int32)
 
     def auto_block(t):
         for b in (512, 256, 128):
@@ -311,39 +649,115 @@ def sea_block_sparse_attention(
     n_words = (T_M + 31) // 32
 
     mbits = pack_compressed_bits(mask_m)  # (N, H, T, T_M//32)
-    row_widths = None
-    if row_base is not None and is_causal:
-        rw = row_base[:, None] + jnp.arange(block_q, dtype=jnp.int32)[None, :]
-        row_widths = (rw + 1).reshape(-1).astype(jnp.float32)
-    counts, idx = tile_activity_lists(
-        mask_m, T_SRC, is_causal, block_q, block_k, lengths=lengths,
-        row_widths=row_widths,
-    )
-    if lengths is None:
-        lengths = jnp.full((N,), T_SRC, jnp.int32)
-    lengthsf = jnp.broadcast_to(lengths[:, None], (N, H)).reshape(N * H).astype(jnp.int32)
-    NQ_ = T_DST // block_q
-    if row_base is None:
-        row_base = jnp.arange(NQ_, dtype=jnp.int32) * block_q
-    rowbasef = jnp.broadcast_to(
-        row_base[None, :], (N * H, NQ_)
-    ).astype(jnp.int32)
-
     NH = N * H
     NQ = T_DST // block_q
-    NKB = T_SRC // block_k
     qf = q.reshape(NH, T_DST, D)
     kf = k.reshape(NH, T_SRC, D)
     vf = v.reshape(NH, T_SRC, D)
     mbitsf = mbits.reshape(NH, T_DST, n_words)
-    countsf = counts.reshape(NH, NQ)
-    idxf = idx.reshape(NH, NQ, NKB)
     if row_scaler is None:
         scalerf = jnp.ones((NH, T_DST, 128), q.dtype)
     else:
         scalerf = jnp.broadcast_to(
             row_scaler.reshape(NH, T_DST, 1), (NH, T_DST, 128)
         ).astype(q.dtype)
+    if row_base is None:
+        row_base_arr = jnp.arange(NQ, dtype=jnp.int32) * block_q
+    else:
+        row_base_arr = row_base.astype(jnp.int32)
+    rowbasef = jnp.broadcast_to(row_base_arr[None, :], (NH, NQ)).astype(jnp.int32)
+
+    if is_causal:
+        row_widths = None
+        if row_base is not None:
+            rw = row_base_arr[:, None] + jnp.arange(block_q, dtype=jnp.int32)[None, :]
+            row_widths = (rw + 1).reshape(-1).astype(jnp.float32)
+        NKO = T_SRC // block_k
+        if impl == "subtile":
+            sub = min(sub_block, block_k)
+            counts, idx, submask = tile_activity_sub(
+                mask_m, T_SRC, block_q, block_k, sub, row_widths=row_widths
+            )
+            kernel = functools.partial(
+                _causal_kernel,
+                t_m=T_M,
+                block_q=block_q,
+                block_ko=block_k,
+                sub=sub,
+                n_words=n_words,
+                oversample=oversample,
+                k_cfg=k_cfg,
+            )
+        else:
+            assert impl == "flat", impl
+            counts, idx = tile_activity_lists(
+                mask_m, T_SRC, True, block_q, block_k, row_widths=row_widths
+            )
+            submask = jnp.zeros_like(idx)
+            kernel = functools.partial(
+                _causal_kernel_flat,
+                t_m=T_M,
+                block_q=block_q,
+                block_k=block_k,
+                n_words=n_words,
+                oversample=oversample,
+                k_cfg=k_cfg,
+            )
+        countsf = counts.reshape(NH, NQ)
+        idxf = idx.reshape(NH, NQ, NKO)
+        submaskf = submask.reshape(NH, NQ, NKO)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(NH, NQ, NKO),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+                pl.BlockSpec(
+                    (1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)
+                ),
+                pl.BlockSpec(
+                    (1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)
+                ),
+                pl.BlockSpec(
+                    (1, block_q, n_words), lambda h, i, j, c, x, sm, rb: (h, i, 0)
+                ),
+                pl.BlockSpec(
+                    (1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)
+            ),
+            scratch_shapes=([pltpu.VMEM((block_q, block_k), jnp.float32)]
+                            if impl == "subtile" else []) + [
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((NH, T_DST, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(countsf, idxf, submaskf, rowbasef, qf, kf, vf, mbitsf, scalerf)
+        out = out.reshape(N, H, T_DST, D)
+        return out[:, :, :T_DST0]
+
+    # ---- padded bidirectional path (v1 kernel) ----
+    assert oversample == 1.0, "oversample is causal-only (reference OPT configs)"
+    counts, idx = tile_activity_lists(
+        mask_m, T_SRC, is_causal, block_q, block_k, lengths=lengths
+    )
+    if lengths is None:
+        lengths = jnp.full((N,), T_SRC, jnp.int32)
+    lengthsf = jnp.broadcast_to(lengths[:, None], (N, H)).reshape(N * H).astype(jnp.int32)
+
+    NKB = T_SRC // block_k
+    countsf = counts.reshape(NH, NQ)
+    idxf = idx.reshape(NH, NQ, NKB)
 
     kernel = functools.partial(
         _kernel,
@@ -389,7 +803,8 @@ def sea_block_sparse_attention(
         ),
         interpret=interpret,
     )(countsf, idxf, lengthsf, rowbasef, qf, kf, vf, mbitsf, scalerf)
-    return out.reshape(N, H, T_DST, D)
+    out = out.reshape(N, H, T_DST, D)
+    return out[:, :, :T_DST0]
 
 
 # ---------------------------------------------------------------------------
@@ -459,14 +874,7 @@ def active_tile_lists(
     wpb = block_k // 32
     tile = bits.reshape(N, H, NQ, block_q, NKB, wpb)
     active = jnp.any(tile != 0, axis=(3, 5))
-    counts = active.sum(-1).astype(jnp.int32)
-    order = jnp.argsort(jnp.where(active, 0, 1), axis=-1, stable=True)
-    ar = jnp.arange(NKB, dtype=jnp.int32)
-    within = ar[None, None, None, :] < jnp.maximum(counts[..., None], 1)
-    idx = jnp.where(within, order, 0).astype(jnp.int32)
-    last = jnp.take_along_axis(idx, jnp.maximum(counts[..., None] - 1, 0), axis=-1)
-    idx = jnp.where(within, idx, last)
-    return counts, idx
+    return _compact_lists(active)
 
 
 def mask_nnz(mask_m: jnp.ndarray, t_src: int, is_causal: bool) -> jnp.ndarray:
@@ -481,10 +889,11 @@ def mask_nnz(mask_m: jnp.ndarray, t_src: int, is_causal: bool) -> jnp.ndarray:
 
 
 def dense_reference(
-    q, k, v, mask_m, row_scaler=None, *, is_causal=True, lengths=None
+    q, k, v, mask_m, row_scaler=None, *, is_causal=True, lengths=None,
+    oversample: float = 1.0, k_cfg: float = 64.0,
 ) -> jnp.ndarray:
     """jnp oracle with identical semantics (dense-resize mask + per-row
-    softmax + scaler), for kernel tests."""
+    softmax + scaler + optional undersampling), for kernel tests."""
     N, H, T_DST, D = q.shape
     T_SRC = k.shape[2]
     T_M = mask_m.shape[-1]
@@ -509,6 +918,19 @@ def dense_reference(
         alive = alive & (
             s_idx[None, None] < lengths.astype(jnp.float32)[:, None, None, None]
         )
+    if oversample != 1.0:
+        # reference resize_m_to_t.py:54-71 keep predicate (train path)
+        xs = s_idx  # (1, T_SRC)
+        ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
+        oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
+        frac = (xs[None] + 1) / w * ps
+        keep = jnp.abs(frac - jnp.floor(frac + 0.5)) <= ((1.0 / oys) * 0.5 + 1e-4)
+        keep = (
+            jnp.broadcast_to(keep[:, None], (N, H, T_DST, T_SRC))
+            if keep.shape[0] == N
+            else jnp.broadcast_to(keep[None], (N, H, T_DST, T_SRC))
+        )
+        alive = alive & keep
     scores = jnp.einsum("nhtd,nhsd->nhts", q, k).astype(jnp.float32)
     scores = jnp.where(alive, scores, NEG_INF)
     m = jnp.max(scores, -1, keepdims=True)
@@ -519,3 +941,394 @@ def dense_reference(
     if row_scaler is not None:
         out = out * row_scaler[..., None]
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused attention (custom_vjp): flash-style recompute backward
+# (reference backward semantics: masked_mm.py:91-112 — gradients only at
+# mask positions, which holds structurally here because p == 0 off-mask)
+# ---------------------------------------------------------------------------
+
+
+def _causal_kernel_fwd_stats(
+    counts_ref, idx_ref, submask_ref, rowbase_ref,
+    q_ref, k_ref, v_ref, mbits_ref, scale_ref,
+    o_ref, lse_ref,  # extra output: per-row logsumexp (1, BQ, 128)
+    m_scr, l_scr, acc_scr,
+    *, t_m, block_q, block_k, n_words,
+):
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    count = counts_ref[h, i]
+    BQ, BK = block_q, block_k
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, M_INIT)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j < count)
+    def _compute():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bk = idx_ref[h, i, j]
+        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        a = (1.0 / w) * jnp.float32(t_m)
+        b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
+        pix = (colio * a + b2).astype(jnp.int32)
+        word_idx = pix >> 5
+        bit_idx = (pix & 31).astype(jnp.uint32)
+        word = jnp.zeros((BQ, BK), jnp.uint32)
+        for wi in range(n_words):
+            wcol = mbits_ref[0, :, wi][:, None]
+            word = jnp.where(word_idx == wi, wcol, word)
+        alive = ((word >> bit_idx) & 1) == 1
+        s = jnp.where(alive, s, DEAD)
+
+        m_prev = m_scr[:, 0:1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        corr = jnp.exp(m_prev - m_cur)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        scale = scale_ref[0][:, 0:1].astype(jnp.float32)
+        o_ref[0] = (acc_scr[:] / safe_l * scale).astype(o_ref.dtype)
+        # logsumexp; +inf for all-dead rows so bwd's exp(s - lse) -> 0
+        lse = jnp.where(l > 0, m_scr[:, 0:1] + jnp.log(safe_l), jnp.inf)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref[0].shape)
+
+
+def _alive_scores(q_blk, k_blk, rowbase, bk, t_m, n_words, mbits_ref, BQ, BK):
+    """Shared recompute: masked scores for one (q-block, k-block) tile."""
+    s = jax.lax.dot_general(
+        q_blk, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = rowbase + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+    w = (rows + 1).astype(jnp.float32)
+    a = (1.0 / w) * jnp.float32(t_m)
+    b2 = bk.astype(jnp.float32) * a + (a * 0.5 - 1e-4)
+    colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
+    pix = (colio * a + b2).astype(jnp.int32)
+    word_idx = pix >> 5
+    bit_idx = (pix & 31).astype(jnp.uint32)
+    word = jnp.zeros((BQ, BK), jnp.uint32)
+    for wi in range(n_words):
+        wcol = mbits_ref[0, :, wi][:, None]
+        word = jnp.where(word_idx == wi, wcol, word)
+    alive = ((word >> bit_idx) & 1) == 1
+    return jnp.where(alive, s, DEAD)
+
+
+def _causal_kernel_dq(
+    counts_ref, idx_ref, submask_ref, rowbase_ref,
+    q_ref, k_ref, v_ref, mbits_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, t_m, block_q, block_k, n_words,
+):
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    count = counts_ref[h, i]
+    BQ, BK = block_q, block_k
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(j < count)
+    def _compute():
+        bk = idx_ref[h, i, j] * BK
+        s = _alive_scores(
+            q_ref[0], k_ref[0], rowbase_ref[h, i], bk, t_m, n_words,
+            mbits_ref, BQ, BK,
+        )
+        p = jnp.exp(s - lse_ref[0][:, 0:1])  # (BQ, BK), 0 off-mask
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        ds = p * (dp - delta_ref[0][:, 0:1])
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _epilogue():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _causal_kernel_dkv(
+    counts_ref, idx_ref, submask_ref, rowbase_ref,
+    q_ref, k_ref, v_ref, mbits_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, t_m, block_q, block_k, n_words,
+):
+    """Grid (NH, NKB, NQ): k/v block fixed, loop active q-blocks (counts/idx
+    are the TRANSPOSED activity lists; mbits/do/lse/delta blocks follow the
+    looped q-block via the idx indirection)."""
+    h = pl.program_id(0)
+    jk = pl.program_id(1)
+    iq = pl.program_id(2)
+    count = counts_ref[h, jk]
+    BQ, BK = block_q, block_k
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(iq < count)
+    def _compute():
+        qb = idx_ref[h, jk, iq]
+        s = _alive_scores(
+            q_ref[0], k_ref[0], rowbase_ref[h, qb], jk * BK, t_m, n_words,
+            mbits_ref, BQ, BK,
+        )
+        p = jnp.exp(s - lse_ref[0][:, 0:1])  # (BQ, BK)
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0][:, 0:1])
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, D)
+
+    @pl.when(iq == pl.num_programs(2) - 1)
+    def _epilogue():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _diff_prep(q, k, mask_m, block_q, block_k):
+    N, H, T_DST, D = q.shape
+    T_SRC = k.shape[2]
+    T_M = mask_m.shape[-1]
+    assert T_DST % block_q == 0 and T_SRC % block_k == 0, (
+        "differentiable path requires lane-multiple lengths"
+    )
+    n_words = (T_M + 31) // 32
+    NH, NQ, NKB = N * H, T_DST // block_q, T_SRC // block_k
+    mbits = pack_compressed_bits(mask_m).reshape(NH, T_DST, n_words)
+    act = _causal_activity(mask_m, T_SRC, block_q, block_k)  # (N,H,NQ,NKB)
+    counts, idx = _compact_lists(act)
+    countsT, idxT = _compact_lists(jnp.swapaxes(act, -1, -2))
+    rowbase = jnp.broadcast_to(
+        (jnp.arange(NQ, dtype=jnp.int32) * block_q)[None, :], (NH, NQ)
+    )
+    return mbits, counts.reshape(NH, NQ), idx.reshape(NH, NQ, NKB), \
+        countsT.reshape(NH, NKB), idxT.reshape(NH, NKB, NQ), rowbase, n_words
+
+
+def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret):
+    N, H, T_DST, D = q.shape
+    T_SRC = k.shape[2]
+    T_M = mask_m.shape[-1]
+    mbits, counts, idx, countsT, idxT, rowbase, n_words = _diff_prep(
+        q, k, mask_m, block_q, block_k
+    )
+    NH, NQ, NKB = N * H, T_DST // block_q, T_SRC // block_k
+    submask = jnp.zeros_like(idx)
+    qf = q.reshape(NH, T_DST, D)
+    kf = k.reshape(NH, T_SRC, D)
+    vf = v.reshape(NH, T_SRC, D)
+    scalerf = jnp.broadcast_to(
+        scaler.reshape(NH, T_DST, 1), (NH, T_DST, 128)
+    ).astype(q.dtype)
+    kernel = functools.partial(
+        _causal_kernel_fwd_stats, t_m=T_M, block_q=block_q, block_k=block_k,
+        n_words=n_words,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(NH, NQ, NKB),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_q, n_words), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NH, T_DST, D), q.dtype),
+            jax.ShapeDtypeStruct((NH, T_DST, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(counts, idx, submask, rowbase, qf, kf, vf, mbits, scalerf)
+    return o.reshape(N, H, T_DST, D), lse
+
+
+def _diff_core(q, k, v, mask_m, scaler, block_q, block_k, interpret):
+    o, lse = _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret)
+    return o, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_sparse_attention(
+    q, k, v, mask_m, row_scaler,
+    block_q: int = 512, block_k: int = 512, interpret: bool = False,
+):
+    """Differentiable fused causal sparse attention (custom_vjp).
+
+    Same semantics as `sea_block_sparse_attention(..., is_causal=True)`:
+    per-(row,head) softmax over the dense-resize-expanded compressed mask,
+    times the row scaler (pass ones when unused — custom_vjp needs a
+    concrete cotangent slot). mask_m gets zero cotangent (binary
+    selection); q/k/v/row_scaler get flash-style recompute gradients."""
+    o, _ = _diff_core(q, k, v, mask_m, row_scaler, block_q, block_k, interpret)
+    return o
+
+
+def _fused_fwd(q, k, v, mask_m, row_scaler, block_q, block_k, interpret):
+    o, lse = _diff_core(q, k, v, mask_m, row_scaler, block_q, block_k, interpret)
+    return o, (q, k, v, mask_m, row_scaler, o, lse)
+
+
+def _fused_bwd(block_q, block_k, interpret, res, do):
+    q, k, v, mask_m, scaler, o, lse = res  # lse (NH,T,128)
+    N, H, T_DST, D = q.shape
+    T_SRC = k.shape[2]
+    T_M = mask_m.shape[-1]
+    NH, NQ, NKB = N * H, T_DST // block_q, T_SRC // block_k
+    mbits, counts, idx, countsT, idxT, rowbase, n_words = _diff_prep(
+        q, k, mask_m, block_q, block_k
+    )
+
+    do_f = do.astype(jnp.float32)
+    o_f = o.astype(jnp.float32)
+    scale_f = scaler.astype(jnp.float32)[..., None]  # (N,H,T,1)
+    safe_scale = jnp.where(scale_f != 0, scale_f, 1.0)
+    o_unscaled = o_f / safe_scale
+    # d scaler = <do, o_unscaled> per row; d o_unscaled = do * scale
+    dscaler = jnp.sum(do_f * o_unscaled, axis=-1).astype(scaler.dtype)
+    dou = (do_f * scale_f).astype(q.dtype)
+    delta = jnp.sum(dou.astype(jnp.float32) * o_unscaled, axis=-1)  # (N,H,T)
+
+    qf = q.reshape(NH, T_DST, D)
+    kf = k.reshape(NH, T_SRC, D)
+    vf = v.reshape(NH, T_SRC, D)
+    douf = dou.reshape(NH, T_DST, D)
+    deltaf = jnp.broadcast_to(
+        delta.reshape(NH, T_DST, 1), (NH, T_DST, 128)
+    ).astype(jnp.float32)
+    submask = jnp.zeros_like(idx)
+    submaskT = jnp.zeros_like(idxT)
+
+    dq_kernel = functools.partial(
+        _causal_kernel_dq, t_m=T_M, block_q=block_q, block_k=block_k,
+        n_words=n_words,
+    )
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(NH, NQ, NKB),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_q, n_words), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )
+    lsef = lse  # (NH, T_DST, 128) f32 from the stats forward
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((NH, T_DST, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(counts, idx, submask, rowbase, qf, kf, vf, mbits, douf, lsef, deltaf)
+
+    dkv_kernel = functools.partial(
+        _causal_kernel_dkv, t_m=T_M, block_q=block_q, block_k=block_k,
+        n_words=n_words,
+    )
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(NH, NKB, NQ),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
+            pl.BlockSpec((1, block_q, n_words), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NH, T_SRC, D), q.dtype),
+            jax.ShapeDtypeStruct((NH, T_SRC, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(countsT, idxT, submaskT, rowbase, qf, kf, vf, mbits, douf, lsef, deltaf)
+
+    dq = dq.reshape(N, H, T_DST, D)
+    dk = dk.reshape(N, H, T_SRC, D)
+    dv = dv.reshape(N, H, T_SRC, D)
+    dmask = jnp.zeros_like(mask_m)
+    return dq, dk, dv, dmask, dscaler
+
+
+fused_sparse_attention.defvjp(_fused_fwd, _fused_bwd)

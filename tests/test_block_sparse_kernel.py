@@ -137,3 +137,116 @@ def test_kernel_empty_rows_zero():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got)[:, :, 64:80], 0.0, atol=1e-6)
+
+
+def test_kernel_oversample_matches_oracle():
+    """k_oversample != 1 applies the train path's keep-predicate in-kernel."""
+    q, k, v, mask, scaler = make_case(T=256, T_M=32, density=0.4)
+    got = sea_block_sparse_attention(
+        q, k, v, mask, scaler, is_causal=True, block_q=64, block_k=64,
+        oversample=1.5, k_cfg=4.0, interpret=True,
+    )
+    want = dense_reference(
+        q, k, v, mask, scaler, is_causal=True, oversample=1.5, k_cfg=4.0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_oversample_oracle_matches_train_resize():
+    """dense_reference's keep-predicate == masks.resize_from_m_to_t with
+    handle_oversample (the train-path source of truth), compared at the
+    attention-output level in the same f32 arithmetic."""
+    from sea_tpu.ops.masks import resize_from_m_to_t, fp_min_for
+
+    rng = np.random.default_rng(5)
+    N, H, T, T_M, K, OS = 1, 2, 128, 16, 4, 2.0
+    mask_m = jnp.asarray((rng.uniform(size=(N, H, T, T_M)) < 0.4).astype(np.float32))
+    fpmin = fp_min_for(jnp.float32)
+    causal = jnp.where(jnp.tril(jnp.ones((T, T))) > 0, 0.0, fpmin)[None, None]
+    causal = jnp.broadcast_to(causal, (N, 1, T, T))
+    mask_additive = jnp.where(mask_m > 0, 0.0, fpmin)  # train-path encoding
+    resized = resize_from_m_to_t(
+        mask_additive, fpmin, attention_mask=causal, target_width=T,
+        is_causal=True, k=K, oversampled=OS,
+    )
+    q = jnp.asarray(rng.standard_normal((N, H, T, 8)).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.standard_normal((N, H, T, 8)).astype(np.float32) * 0.2)
+    v = jnp.asarray(rng.standard_normal((N, H, T, 8)).astype(np.float32))
+    # train-path attention with the resized additive mask
+    scores = jnp.einsum("nhtd,nhsd->nhts", q, k)
+    masked = scores + resized + causal
+    probs = jax.nn.softmax(masked, -1)
+    probs = jnp.where((resized < -1) | (causal < -1), 0.0, probs)
+    denom = probs.sum(-1, keepdims=True)
+    probs = jnp.where(denom > 0, probs / denom, 0.0)
+    want_train = jnp.einsum("nhts,nhsd->nhtd", probs, v)
+    got = dense_reference(
+        q, k, v, mask_m, None, is_causal=True, oversample=OS, k_cfg=float(K)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want_train), atol=2e-4
+    )
+
+
+def test_kernel_nonmultiple_lengths_padded():
+    """T not a multiple of 128 pads transparently (causal + bidirectional)."""
+    for causal in (True, False):
+        q, k, v, mask, scaler = make_case(T=200, T_M=32, density=0.3, causal=causal)
+        got = sea_block_sparse_attention(
+            q, k, v, mask, scaler, is_causal=causal, interpret=True,
+        )
+        want = dense_reference(q, k, v, mask, scaler, is_causal=causal)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["flat", "subtile"])
+def test_kernel_impls_match_oracle(impl):
+    q, k, v, mask, scaler = make_case(T=256, T_M=32, density=0.3)
+    got = sea_block_sparse_attention(
+        q, k, v, mask, scaler, is_causal=True, block_q=64, block_k=64,
+        impl=impl, interpret=True,
+    )
+    want = dense_reference(q, k, v, mask, scaler, is_causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_vjp_matches_dense_grads():
+    """custom_vjp backward vs jax.grad of the dense oracle (q, k, v and the
+    row scaler; mask cotangent is structurally zero — reference
+    masked_mm.py:91-112 writes grads only at mask positions)."""
+    from sea_tpu.ops.kernels.block_sparse import fused_sparse_attention
+
+    q, k, v, mask, scaler = make_case(T=256, T_M=32, density=0.3)
+    tgt = jnp.asarray(
+        np.random.default_rng(11).standard_normal((1, 2, 256, 64)).astype(np.float32)
+    )
+
+    def loss_fused(q, k, v, scaler):
+        o = fused_sparse_attention(
+            q, k, v, mask, scaler, 64, 64, True
+        )
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_dense(q, k, v, scaler):
+        o = dense_reference(q, k, v, mask, scaler, is_causal=True)
+        return jnp.sum((o - tgt) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, scaler)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, scaler)
+    for a, b, name in zip(gf, gd, ["dq", "dk", "dv", "dscaler"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3, err_msg=name
+        )
+
+
+def test_fused_vjp_forward_matches_kernel():
+    from sea_tpu.ops.kernels.block_sparse import fused_sparse_attention
+
+    q, k, v, mask, scaler = make_case(T=256, T_M=32, density=0.3)
+    o1 = fused_sparse_attention(q, k, v, mask, scaler, 64, 64, True)
+    o2 = sea_block_sparse_attention(
+        q, k, v, mask, scaler, is_causal=True, block_q=64, block_k=64,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)

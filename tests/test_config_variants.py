@@ -34,9 +34,12 @@ def test_dynamic_k_changes_budget():
     inputs = make_inputs(cfg_small, N=1, T=32)
     params, out_small = init_and_run(cfg_small, benchmarking=True, inputs=inputs)
     _, out_dyn = init_and_run(cfg_dyn, benchmarking=True, inputs=inputs, params=params)
-    # benchmark path returns a UniformCsr; compare realized nnz
-    nnz_small = int(np.asarray(out_small.partial_attention_mask.nnz_per_row).sum())
-    nnz_dyn = int(np.asarray(out_dyn.partial_attention_mask.nnz_per_row).sum())
+    # fused benchmark path returns the compressed mask; compare realized nnz
+    from sea_tpu.ops.kernels.block_sparse import mask_nnz
+
+    T = out_small.partial_attention_mask.shape[-2]
+    nnz_small = int(mask_nnz(out_small.partial_attention_mask > 0, T, True))
+    nnz_dyn = int(mask_nnz(out_dyn.partial_attention_mask > 0, T, True))
     assert nnz_dyn > nnz_small
 
 
