@@ -37,6 +37,19 @@ def timeit(fn, *args, iters: int = 10, warmup: int = 1) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def device_peak_bytes() -> Optional[int]:
+    """Peak device-memory use (the reference harness tracks VRAM via
+    torch.cuda.max_memory_allocated, benchmark_bert.py:49-100; on TPU the
+    runtime exposes peak_bytes_in_use). None when unavailable (CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            return int(stats.get("peak_bytes_in_use", 0)) or None
+    except Exception:
+        pass
+    return None
+
+
 def attention_method_sweep(
     methods: Optional[List[str]] = None,
     seq_lens: Optional[List[int]] = None,
@@ -95,22 +108,26 @@ def attention_method_sweep(
         for m in methods:
             try:
                 dt = timeit(fns[m], q, kk, v, iters=5)
-                results.append(
-                    {"method": m, "seq_len": T, "ms": round(dt * 1e3, 3)}
-                )
+                rec = {"method": m, "seq_len": T, "ms": round(dt * 1e3, 3)}
+                peak = device_peak_bytes()
+                if peak is not None:
+                    rec["peak_mem_mb"] = round(peak / 2**20, 1)
+                results.append(rec)
             except Exception as e:  # OOM-tolerant, like the reference harness
                 results.append({"method": m, "seq_len": T, "error": str(e)[:200]})
     return results
 
 
 def scaling_sweep(device_counts: Optional[List[int]] = None) -> List[Dict]:
-    """SEA attention forward throughput on 1..n-device (dp x sp) meshes —
-    the 1-chip -> n scaling-efficiency measurement (on CPU this validates
-    the sharding; on a pod slice it measures real ICI scaling)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+    """Sparse BENCHMARK forward (zigzag shard_map fused kernel) on 1..n
+    sequence-parallel meshes — the harness behind the >=70% 1->N scaling
+    target (BASELINE.json #3). On the virtual CPU mesh this validates the
+    sharded program; on a pod slice it measures real ICI scaling.
+    Reports realized-mask nnz/s per config and scaling efficiency."""
     from sea_tpu.config import SeaConfig
     from sea_tpu.models.attention import SeaAttention
+    from sea_tpu.ops.kernels.block_sparse import mask_nnz
+    from sea_tpu.parallel.context import sharded_attention_scope
     from sea_tpu.parallel.mesh import make_mesh
 
     n_avail = len(jax.devices())
@@ -119,9 +136,10 @@ def scaling_sweep(device_counts: Optional[List[int]] = None) -> List[Dict]:
     )
     cfg = SeaConfig(
         num_heads=4, head_dim=32, predictor_length=32, k=8,
-        performer_nb_factor=1, causal=True, max_position_embeddings=512,
+        performer_nb_factor=1, causal=True, max_position_embeddings=1024,
+        use_pallas=True,
     ).validate()
-    N, T = 4, 256
+    N, T = 1, 1024
     rng = np.random.default_rng(0)
     H, D = cfg.num_heads, cfg.head_dim
     q = jnp.asarray(rng.standard_normal((N, H, T, D)).astype(np.float32) * 0.3)
@@ -136,40 +154,34 @@ def scaling_sweep(device_counts: Optional[List[int]] = None) -> List[Dict]:
     params = model.init(jax.random.key(0), q, q, q, q, q, q, q, q, causal)
 
     def fwd(p, q, mask):
-        return model.apply(p, q, q, q, q, q, q, q, q, mask).context_layer
+        out = model.apply(
+            p, q, q, q, q, q, q, q, q, mask, benchmarking=True
+        )
+        return out.context_layer, out.partial_attention_mask
+
+    # realized sparsity of this config's mask (compressed domain)
+    _, mask_m = jax.jit(fwd)(params, q, causal)
+    nnz = int(mask_nnz(mask_m > 0, T, True))
 
     results = []
     base = None
     for n in device_counts:
-        if n > n_avail:
+        if n > n_avail or T // n < 128:
             continue
-        sp = 2 if n % 2 == 0 else 1
-        dp = n // sp
-        mesh = make_mesh(dp=dp, sp=sp, devices=jax.devices()[:n])
-        repl = NamedSharding(mesh, P())
-        shard = NamedSharding(mesh, P("dp", None, "sp", None))
-        mshard = NamedSharding(mesh, P("dp", None, "sp", None))
-        f = jax.jit(
-            fwd,
-            in_shardings=(repl, shard, mshard),
-            out_shardings=NamedSharding(mesh, P("dp", "sp", None)),
-        )
-        dt = timeit(
-            f,
-            jax.device_put(params, repl),
-            jax.device_put(q, shard),
-            jax.device_put(causal, mshard),
-            iters=5,
-        )
-        tput = 1.0 / dt
+        mesh = make_mesh(dp=1, sp=n, devices=jax.devices()[:n])
+        with sharded_attention_scope(mesh, axis="sp", kind="seq"):
+            f = jax.jit(lambda p, q, m: fwd(p, q, m)[0])
+            dt = timeit(f, params, q, causal, iters=5)
+        tput = nnz / dt
         if base is None:
-            base = tput / n if n else tput
+            base = tput / n
         eff = tput / (n * base) if base else 1.0
         results.append(
             {
                 "devices": n,
-                "mesh": f"dp{dp}xsp{sp}",
+                "mesh": f"sp{n} (zigzag fused kernel)",
                 "ms": round(dt * 1e3, 3),
+                "nnz_per_s": float(f"{tput:.4g}"),
                 "scaling_eff": round(eff, 3),
             }
         )

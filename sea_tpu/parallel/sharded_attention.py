@@ -54,6 +54,8 @@ def head_sharded_sea_attention(
     is_causal: bool = True,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    oversample: float = 1.0,
+    k_cfg: float = 64.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Head-partitioned variant (the other half of the north star's
@@ -72,6 +74,7 @@ def head_sharded_sea_attention(
         return sea_block_sparse_attention(
             q_l, k_l, v_l, mask_l, scaler_l,
             is_causal=is_causal, block_q=block_q, block_k=block_k,
+            oversample=oversample, k_cfg=k_cfg,
             interpret=interpret,
         )
 
@@ -100,6 +103,8 @@ def sharded_sea_attention(
     use_kernel: bool = True,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    oversample: float = 1.0,
+    k_cfg: float = 64.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     N, H, T, D = q.shape
@@ -147,7 +152,8 @@ def sharded_sea_attention(
             return sea_block_sparse_attention(
                 q_l, k_full, v_full, mask_l, scaler_l,
                 is_causal=is_causal, row_base=row_base,
-                block_q=bq, block_k=block_k, interpret=interpret,
+                block_q=bq, block_k=block_k,
+                oversample=oversample, k_cfg=k_cfg, interpret=interpret,
             )
         return _masked_rowwise_attention(
             q_l, k_full, v_full, mask_l, scaler_l, rows_l,

@@ -25,7 +25,7 @@ import optax
 
 from ..config import SeaConfig, opt_config
 from ..data.wikitext2 import get_corpus
-from ..models.opt import OptConfig, opt_125m, opt_350m
+from ..models.opt import OptConfig, opt_125m, opt_350m, opt_1_3b, opt_2_7b
 from ..models.loader import load_opt_params, student_from_teacher
 from .distill import SeaOptKD
 from .optimizer import make_optimizer
@@ -95,15 +95,18 @@ def tiny_configs() -> Tuple[OptConfig, OptConfig]:
 def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
     if cfg.model == "tiny":
         return tiny_configs()
-    # head geometry must match the model family (350m has 16 heads)
-    heads = {"opt-125m": 12, "opt-350m": 16}[cfg.model]
+    # head geometry must match the model family
+    heads = {"opt-125m": 12, "opt-350m": 16, "opt-1.3b": 32, "opt-2.7b": 32}[cfg.model]
+    head_dim = {"opt-125m": 64, "opt-350m": 64, "opt-1.3b": 64, "opt-2.7b": 80}[cfg.model]
     sea = opt_config(
         num_heads=heads,
+        head_dim=head_dim,
         k=cfg.k,
         predictor_length=cfg.predictor_length,
         performer_nb_factor=cfg.nb_factor,
     )
-    builder = {"opt-125m": opt_125m, "opt-350m": opt_350m}[cfg.model]
+    builder = {"opt-125m": opt_125m, "opt-350m": opt_350m,
+               "opt-1.3b": opt_1_3b, "opt-2.7b": opt_2_7b}[cfg.model]
     return builder("none", sea), builder("perlin", sea)
 
 
@@ -195,7 +198,21 @@ class OptTrainer:
             self._train_step = jax.jit(
                 self._train_step_impl, donate_argnums=(0, 1), **jit_kw
             )
-        self._eval_step = jax.jit(self._eval_step_impl)
+        if self.mesh is not None:
+            # dp-sharded evaluation: batch sharded over the mesh, the global
+            # (nll, tokens) reduction inserted by GSPMD — the all-reduce the
+            # reference does manually (opt_trainer.py:577-580)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("dp"))
+            self._eval_step = jax.jit(
+                self._eval_step_impl,
+                in_shardings=(repl, data, data, data),
+                out_shardings=(repl, repl),
+            )
+        else:
+            self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, s_params, opt_state, t_vars, ids, mask, labels, rng):
@@ -309,35 +326,98 @@ class OptTrainer:
         except Exception:
             pass
 
+    def _full_state(self):
+        """Complete resumable train state (reference persists
+        step/epoch/model/optimizer/scaler, `opt_trainer.py:595-622`; here:
+        params, optimizer moments incl. the high-lr 'perlin' group, rng,
+        FAVOR+ projections, and the scan/loop layout tag)."""
+        if self.cfg.scan_kd:
+            params, extra = self.combined_params, self.combined_extra
+        else:
+            params, extra = self.s_params, self.s_extra
+        return {
+            "params": params,
+            "opt_state": self.opt_state,
+            "rng": jax.random.key_data(self.rng),
+            "extra": extra,
+            "step": self.step,
+            "layout": {"scan_kd": int(self.cfg.scan_kd)},
+        }
+
     def save(self, tag: str = "checkpoint"):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.s_params, "step": self.step}, force=True)
+        ckptr.save(path, self._full_state(), force=True)
         ckptr.wait_until_finished()
 
-    def load(self, tag: str = "checkpoint") -> bool:
+    def load(self, tag: str = "checkpoint", only_additionals: bool = False) -> bool:
+        """Restore a checkpoint.
+
+        only_additionals: load only the SEA-specific ('perlin') modules and
+        keep the current base weights — the reference's
+        `--load-only-additionals` partial load (perlin_trainer.py:524-531);
+        optimizer state and step are not restored in that mode."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
         if not os.path.exists(path):
             return False
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, {"params": self.s_params, "step": 0})
-        self.s_params = restored["params"]
+        restored = ckptr.restore(path, self._full_state())
+        if int(restored["layout"]["scan_kd"]) != int(self.cfg.scan_kd):
+            raise ValueError(
+                "checkpoint layout mismatch: saved scan_kd="
+                f"{bool(restored['layout']['scan_kd'])}, trainer scan_kd="
+                f"{self.cfg.scan_kd}"
+            )
+        if only_additionals:
+            cur = self.combined_params if self.cfg.scan_kd else self.s_params
+            flat_cur = jax.tree_util.tree_flatten_with_path(cur)
+            flat_new = dict(jax.tree_util.tree_flatten_with_path(restored["params"])[0])
+            merged_leaves = [
+                flat_new[p]
+                if any("perlin" in str(getattr(x, "key", x)) for x in p)
+                else v
+                for p, v in flat_cur[0]
+            ]
+            merged = jax.tree_util.tree_unflatten(flat_cur[1], merged_leaves)
+            if self.cfg.scan_kd:
+                self.combined_params = merged
+            else:
+                self.s_params = merged
+            return True
+        if self.cfg.scan_kd:
+            self.combined_params = restored["params"]
+            self.combined_extra = restored["extra"]
+        else:
+            self.s_params = restored["params"]
+            self.s_extra = restored["extra"]
+        self.opt_state = restored["opt_state"]
+        self.rng = jax.random.wrap_key_data(restored["rng"])
         self.step = int(restored["step"])
         return True
 
     def train(self):
         cfg = self.cfg
         micro_steps = cfg.num_steps * cfg.gradient_accumulation_steps
-        done = 0
+        # resume-aware: the batch stream is seeded per epoch and already-
+        # consumed batches are skipped deterministically, so a resumed run
+        # sees exactly the stream the uninterrupted run would have seen
+        done = self.step * cfg.gradient_accumulation_steps
+        consumed, epoch = 0, 0
         t0 = time.time()
         while done < micro_steps:
             for ids, mask, labels in self.corpus.batches(
-                cfg.batch_size, shuffle=True, seed=cfg.seed + done
+                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
             ):
+                if done >= micro_steps:
+                    break
+                if consumed < done:
+                    consumed += 1
+                    continue
+                consumed += 1
                 self.rng, step_rng = jax.random.split(self.rng)
                 if self.cfg.scan_kd:
                     (self.combined_params, self.opt_state, loss, details
@@ -375,6 +455,7 @@ class OptTrainer:
                         return
                 if done >= micro_steps:
                     return
+            epoch += 1
 
 
 def main():

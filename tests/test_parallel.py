@@ -74,3 +74,15 @@ def test_sharded_attention_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(single), np.asarray(multi), atol=2e-5
     )
+
+
+def test_scaling_sweep_sparse_benchmark():
+    """The scaling harness drives the sharded sparse benchmark forward and
+    produces finite nnz/s for each device count (8-virtual-device CPU)."""
+    from sea_tpu.benchmarks import scaling_sweep
+
+    res = scaling_sweep(device_counts=[1, 2, 4, 8])
+    assert [r["devices"] for r in res] == [1, 2, 4, 8]
+    for r in res:
+        assert r["nnz_per_s"] > 0 and np.isfinite(r["nnz_per_s"])
+        assert "zigzag" in r["mesh"]
