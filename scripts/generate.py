@@ -7,6 +7,7 @@ With --model opt-125m and --checkpoint <dir>, generates from real weights.
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -31,8 +32,10 @@ def main():
 
     if args.model == "tiny":
         _, cfg = tiny_configs()
+        cfg = dataclasses.replace(cfg, sea=dataclasses.replace(cfg.sea, use_cache=True))
     else:
         cfg = opt_125m("perlin")
+        cfg = dataclasses.replace(cfg, sea=dataclasses.replace(cfg.sea, use_cache=True))
     model = OptForCausalLM(cfg)
 
     rng = np.random.default_rng(0)

@@ -4,11 +4,22 @@ loaders over the vendored google-research generators).
 ListOps is a synthetic task by construction, so we generate it natively
 (offline) with the standard operator set (MIN/MAX/MED/SUM_MOD, depth-
 bounded nesting) and a word-level tokenizer — a real learnable long-range
-task with exact labels, no network needed. `text` and `image` fall back to
-structured synthetic streams when IMDb/CIFAR are unavailable offline.
+task with exact labels, no network needed.
+
+`text` and `image` implement the REAL pipelines (reference
+`lra_benchmarks/text.py`: IMDb byte-level classification; `image.py`:
+CIFAR-10 8-bit grayscale pixel sequences) over LOCAL copies of the
+datasets — point `data_dir` (or $SEA_LRA_DATA) at a directory containing
+`aclImdb/` (the standard IMDb layout) and/or `cifar-10-batches-py/` (the
+standard python pickle batches). With no local data (this environment has
+zero egress) they fall back to structured synthetic streams of the same
+shape/vocabulary.
 """
 
 from __future__ import annotations
+
+import os
+import pickle
 
 import dataclasses
 from typing import List, Tuple
@@ -73,9 +84,53 @@ def listops_dataset(
     return ArrayDataset(ids, mask, tt, labels)
 
 
-def text_dataset(n: int = 1024, max_length: int = 1024, seed: int = 0) -> ArrayDataset:
-    """Byte-level classification; offline synthetic: class-dependent
-    character n-gram statistics over a 256-symbol alphabet."""
+def _imdb_dir(data_dir):
+    if data_dir is None:
+        data_dir = os.environ.get("SEA_LRA_DATA", "")
+    cand = os.path.join(data_dir, "aclImdb") if data_dir else ""
+    return cand if cand and os.path.isdir(cand) else None
+
+
+def imdb_bytes_dataset(
+    root: str, split: str, max_length: int, n: int = 0, seed: int = 0
+) -> ArrayDataset:
+    """Reference `lra_benchmarks/text.py` pipeline: raw IMDb review bytes
+    (vocab 256 + CLS at position 0), truncated/padded to max_length."""
+    rng = np.random.default_rng(seed)
+    files = []
+    for label, sub in ((1, "pos"), (0, "neg")):
+        d = os.path.join(root, "train" if split == "train" else "test", sub)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".txt"):
+                files.append((os.path.join(d, f), label))
+    rng.shuffle(files)
+    if n:
+        files = files[:n]
+    N = len(files)
+    ids = np.zeros((N, max_length), np.int32)
+    mask = np.zeros((N, max_length), np.int32)
+    labels = np.zeros((N,), np.int32)
+    for i, (path, label) in enumerate(files):
+        with open(path, "rb") as f:
+            raw = f.read()[: max_length - 1]
+        seq = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+        ids[i, 0] = 1  # cls
+        ids[i, 1 : 1 + len(seq)] = seq
+        mask[i, : 1 + len(seq)] = 1
+        labels[i] = label
+    return ArrayDataset(ids, mask, np.zeros_like(ids), labels)
+
+
+def text_dataset(
+    n: int = 1024, max_length: int = 1024, seed: int = 0, data_dir=None
+) -> ArrayDataset:
+    """Byte-level classification. Uses the real IMDb pipeline when a local
+    `aclImdb/` copy exists; otherwise a class-dependent synthetic stream."""
+    root = _imdb_dir(data_dir)
+    if root is not None:
+        return imdb_bytes_dataset(
+            root, "train" if seed == 0 else "test", max_length, n=n, seed=seed
+        )
     rng = np.random.default_rng(seed)
     ids = rng.integers(4, 256, (n, max_length)).astype(np.int32)
     labels = rng.integers(0, 2, n).astype(np.int32)
@@ -88,9 +143,48 @@ def text_dataset(n: int = 1024, max_length: int = 1024, seed: int = 0) -> ArrayD
     return ArrayDataset(ids, mask, np.zeros_like(ids), labels)
 
 
-def image_dataset(n: int = 1024, side: int = 32, seed: int = 0) -> ArrayDataset:
-    """Pixel-sequence classification (CIFAR-grayscale analogue): classes are
-    distinguishable spatial patterns serialized to length side*side."""
+def _cifar_dir(data_dir):
+    if data_dir is None:
+        data_dir = os.environ.get("SEA_LRA_DATA", "")
+    cand = os.path.join(data_dir, "cifar-10-batches-py") if data_dir else ""
+    return cand if cand and os.path.isdir(cand) else None
+
+
+def cifar_gray_dataset(root: str, split: str, n: int = 0) -> ArrayDataset:
+    """Reference `lra_benchmarks/image.py` pipeline: CIFAR-10 python-pickle
+    batches -> 8-bit grayscale -> length-1024 pixel sequence."""
+    batches = (
+        [f"data_batch_{i}" for i in range(1, 6)]
+        if split == "train"
+        else ["test_batch"]
+    )
+    xs, ys = [], []
+    for b in batches:
+        path = os.path.join(root, b)
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(np.asarray(d[b"data"], np.float32))  # (N, 3072) RGB planes
+        ys.append(np.asarray(d[b"labels"], np.int32))
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    if n:
+        x, y = x[:n], y[:n]
+    rgb = x.reshape(-1, 3, 1024)
+    gray = np.clip(np.round(rgb.mean(1)), 0, 255).astype(np.int32)  # (N, 1024)
+    mask = np.ones_like(gray, np.int32)
+    return ArrayDataset(gray, mask, np.zeros_like(gray), y)
+
+
+def image_dataset(
+    n: int = 1024, side: int = 32, seed: int = 0, data_dir=None
+) -> ArrayDataset:
+    """Pixel-sequence classification. Uses the real CIFAR-10 grayscale
+    pipeline when local batches exist; synthetic patterns otherwise."""
+    root = _cifar_dir(data_dir)
+    if root is not None:
+        return cifar_gray_dataset(root, "train" if seed == 0 else "test", n=n)
     rng = np.random.default_rng(seed)
     T = side * side
     labels = rng.integers(0, 10, n).astype(np.int32)
@@ -132,14 +226,14 @@ LRA_TASKS = {
 
 
 def get_lra(task: str, split: str = "train", n: int = 1024, max_length=None,
-            max_depth: int = 6):
+            max_depth: int = 6, data_dir=None):
     spec = LRA_TASKS[task]
     L = max_length or spec.max_length
     seed = 0 if split == "train" else 1
     if task == "listops":
         return listops_dataset(n, L, max_depth=max_depth, seed=seed)
     if task == "text":
-        return text_dataset(n, L, seed=seed)
+        return text_dataset(n, L, seed=seed, data_dir=data_dir)
     if task == "image":
-        return image_dataset(n, side=int(np.sqrt(L)), seed=seed)
+        return image_dataset(n, side=int(np.sqrt(L)), seed=seed, data_dir=data_dir)
     raise ValueError(task)

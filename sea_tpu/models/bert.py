@@ -74,6 +74,22 @@ class BertSelfAttention(nn.Module):
         self.value = nn.Dense(c.hidden_size, name="value")
         if c.attention_method == "perlin":
             self.perlin = SeaAttention(c.sea, name="perlin")
+            if c.sea.lora_enabled:
+                from .lora import LoraDelta
+
+                r = c.sea.lora_r
+                self.perlin_q_lora = LoraDelta(c.hidden_size, r, name="perlin_q_lora")
+                self.perlin_k_lora = LoraDelta(c.hidden_size, r, name="perlin_k_lora")
+                self.perlin_v_lora = LoraDelta(c.hidden_size, r, name="perlin_v_lora")
+            if c.sea.lora_in_approx_enabled:
+                from .lora import LoraDelta
+
+                r = c.sea.lora_r
+                self.perlin_q_atten_lora = LoraDelta(c.hidden_size, r, name="perlin_q_atten_lora")
+                self.perlin_k_atten_lora = LoraDelta(c.hidden_size, r, name="perlin_k_atten_lora")
+                self.perlin_v_atten_lora = LoraDelta(c.hidden_size, r, name="perlin_v_atten_lora")
+                self.perlin_q_score_lora = LoraDelta(c.hidden_size, r, name="perlin_q_score_lora")
+                self.perlin_k_score_lora = LoraDelta(c.hidden_size, r, name="perlin_k_score_lora")
         elif c.attention_method == "performer":
             self.performer_proj = self.variable(
                 "performer",
@@ -133,12 +149,18 @@ class BertSelfAttention(nn.Module):
             if c.token_merging_score_source == "key":
                 merge_sim = jnp.einsum("nhtd,nhsd->nts", k, k) / c.num_heads
             else:
-                raise NotImplementedError(c.token_merging_score_source)
+                assert c.token_merging_score_source == "probs", (
+                    c.token_merging_score_source
+                )
+                # filled from the method's attention probs below (reference
+                # perlin_bert.py:836-842 reads the layer's attention_probs)
 
         if c.attention_method == "none":
             scores = jnp.einsum("nhtd,nhsd->nhts", q, k) / math.sqrt(c.head_dim)
             scores = scores + attention_mask
             probs = softmax_fp32(scores, -1)
+            if c.token_merging and c.token_merging_score_source == "probs":
+                merge_sim = probs.astype(jnp.float32).mean(1)
             ctx = jnp.einsum("nhts,nhsd->nhtd", probs, v)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, T, E)
             return ctx, None, LayerTeacherOutput(scores, ctx), merge_sim
@@ -210,8 +232,23 @@ class BertSelfAttention(nn.Module):
             return ctx, None, None, merge_sim
 
         assert c.attention_method == "perlin"
+        # LoRA deltas: main q/k/v plus separate estimator-branch projections
+        # (reference PerlinSelfAttention shared by BERT,
+        # self_attention.py:95-175)
+        q_a, k_a, v_a, q_s, k_s = q, k, v, q, k
+        if c.sea.lora_enabled:
+            q = q + self._heads(self.perlin_q_lora(hidden_states))
+            k = k + self._heads(self.perlin_k_lora(hidden_states))
+            v = v + self._heads(self.perlin_v_lora(hidden_states))
+            q_a, k_a, v_a, q_s, k_s = q, k, v, q, k
+        if c.sea.lora_in_approx_enabled:
+            q_a = q + self._heads(self.perlin_q_atten_lora(hidden_states))
+            k_a = k + self._heads(self.perlin_k_atten_lora(hidden_states))
+            v_a = v + self._heads(self.perlin_v_atten_lora(hidden_states))
+            q_s = q + self._heads(self.perlin_q_score_lora(hidden_states))
+            k_s = k + self._heads(self.perlin_k_score_lora(hidden_states))
         out: SeaAttentionOutput = self.perlin(
-            q, k, v, q, k, v, q, k,
+            q, k, v, q_a, k_a, v_a, q_s, k_s,
             attention_mask,
             attention_scores_truth=teacher.attention_scores if teacher else None,
             context_layer_truth=teacher.context_layer if teacher else None,
@@ -219,6 +256,13 @@ class BertSelfAttention(nn.Module):
             training=training,
             rng=rng,
         )
+        if c.token_merging and c.token_merging_score_source == "probs":
+            assert (not benchmarking) and out.partial_attention_probs is not None, (
+                "'probs' merge score needs the train path's materialised "
+                "attention (the reference reads the layer's attention_probs, "
+                "which the fused benchmark path never builds)"
+            )
+            merge_sim = out.partial_attention_probs.astype(jnp.float32).mean(1)
         return out.context_layer, out.loss, None, merge_sim
 
 

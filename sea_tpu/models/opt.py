@@ -92,6 +92,44 @@ def opt_350m(attention_method: str = "perlin", sea: Optional[SeaConfig] = None) 
     )
 
 
+def opt_1_3b(attention_method: str = "perlin", sea: Optional[SeaConfig] = None) -> OptConfig:
+    """facebook/opt-1.3b geometry (reference tunes it via
+    config/ds_opt_1.3.json ZeRO-2 + offload, README.md:45). The TPU memory
+    plan replacing DeepSpeed offload: scan_kd (single scanned teacher+student
+    layer-pair body), per-pair jax.checkpoint remat, buffer donation, bf16
+    compute_dtype, dp-sharded ZeRO-1 optimizer state (parallel/mesh.py)."""
+    from ..config import opt_config as sea_opt_config
+
+    return OptConfig(
+        hidden_size=2048,
+        num_layers=24,
+        num_heads=32,
+        ffn_dim=8192,
+        attention_method=attention_method,
+        compute_dtype="bfloat16",
+        sea=sea
+        if sea is not None
+        else sea_opt_config(num_heads=32, head_dim=64),
+    )
+
+
+def opt_2_7b(attention_method: str = "perlin", sea: Optional[SeaConfig] = None) -> OptConfig:
+    """facebook/opt-2.7b geometry (reference README.md:45 24GB tuning)."""
+    from ..config import opt_config as sea_opt_config
+
+    return OptConfig(
+        hidden_size=2560,
+        num_layers=32,
+        num_heads=32,
+        ffn_dim=10240,
+        attention_method=attention_method,
+        compute_dtype="bfloat16",
+        sea=sea
+        if sea is not None
+        else sea_opt_config(num_heads=32, head_dim=80),
+    )
+
+
 class LayerTeacherOutput(NamedTuple):
     """Per-layer distillation targets captured by the dense teacher."""
 
@@ -148,6 +186,21 @@ class OptAttention(nn.Module):
                     jax.random.key(1), c.sea.nb_features, c.head_dim
                 ),
             )
+        elif c.attention_method == "cosformer":
+            # reference perlin_opt.py:199-210 (CosformerAttention causal)
+            from ..ops.cosformer import CosformerAttention
+
+            self.cosformer = CosformerAttention(
+                embed_dim=c.hidden_size,
+                num_heads=c.num_heads,
+                has_outproj=False,
+                causal=True,
+                name="cosformer",
+            )
+        elif c.attention_method in ("reformer", "sinkhorn"):
+            pass  # learn-free ops (reference perlin_opt.py:184-196,212-221)
+        else:
+            assert c.attention_method == "none", c.attention_method
 
     def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
         N, T, E = x.shape
@@ -194,6 +247,44 @@ class OptAttention(nn.Module):
                 generalized=True,
             ).astype(hidden_states.dtype)
             ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
+            return self.out_proj(ctx), None, None
+
+        # causal baseline dispatches (reference perlin_opt.py:315,402,478):
+        # padded value rows zeroed like the reference's
+        # v * (attention_mask[:,:,:,:1] > -1)
+        if c.attention_method in ("reformer", "cosformer", "sinkhorn"):
+            dst_alive = causal_mask[:, :, :, :1] > -1  # (N,1,T,1)
+            v = jnp.where(dst_alive, v, 0)
+            if c.attention_method == "cosformer":
+                # sequence-first fp32 island (reference perlin_opt.py:402-427)
+                to_seq = lambda x: jnp.transpose(
+                    jnp.transpose(x, (0, 2, 1, 3)).reshape(N, T, E), (1, 0, 2)
+                ).astype(jnp.float32)
+                t_out = self.cosformer(to_seq(q), to_seq(k), to_seq(v))
+                ctx = jnp.transpose(t_out, (1, 0, 2)).astype(hidden_states.dtype)
+            elif c.attention_method == "reformer":
+                from ..ops.baselines import reformer_lsh_attention
+
+                hash_rng = rng if rng is not None else jax.random.key(7)
+                # shared-QK per Reformer (the reference passes qk to
+                # LSHAttention, perlin_opt.py:350)
+                out = reformer_lsh_attention(
+                    q.astype(jnp.float32),
+                    v.astype(jnp.float32),
+                    rng=hash_rng,
+                    causal=True,
+                ).astype(hidden_states.dtype)
+                ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
+            else:
+                from ..ops.baselines import sinkhorn_causal_attention
+
+                out = sinkhorn_causal_attention(
+                    q.astype(jnp.float32),
+                    k.astype(jnp.float32),
+                    v.astype(jnp.float32),
+                    block_size=min(c.sea.k, T),
+                ).astype(hidden_states.dtype)
+                ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(N, T, E)
             return self.out_proj(ctx), None, None
 
         assert c.attention_method == "perlin", c.attention_method  # dispatch
@@ -273,6 +364,11 @@ class OptDecoderLayer(nn.Module):
         rng: Optional[jax.Array] = None,
     ):
         c = self.cfg
+        if c.sea.layerwise and training:
+            # layerwise training: every layer optimises its own distillation
+            # loss; gradients do not cross layer boundaries (reference
+            # perlin_opt.py:706-715 detaches the layer input)
+            hidden_states = jax.lax.stop_gradient(hidden_states)
         residual = hidden_states
         h = hidden_states
         if c.do_layer_norm_before:

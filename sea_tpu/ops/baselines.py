@@ -65,8 +65,13 @@ def reformer_lsh_attention(
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Shared-QK LSH attention (Reformer): hash q, sort, attend within
-    chunks of `bucket_size` (plus the previous chunk), average rounds."""
+    chunks of `bucket_size` (plus the previous chunk), average rounds.
+    bucket_size auto-clamps to the sequence (the reference notes its
+    LSHAttention 'will re adjust automatically', perlin_opt.py:216-221)."""
     N, H, T, D = q.shape
+    while bucket_size > T:
+        bucket_size //= 2
+    bucket_size = max(bucket_size, 1)
     if rng is None:
         rng = jax.random.key(0)
     n_buckets = max(2, T // bucket_size)
@@ -234,3 +239,70 @@ def sinkhorn_block_attention(
     probs = jax.nn.softmax(scores, -1)
     out = jnp.einsum("nhits,nhisd->nhitd", probs, vs)
     return out.reshape(N, H, T, D).astype(q.dtype)
+
+
+def sinkhorn_causal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    block_size: int = 64,
+    match_iters: int = 3,
+    temperature: float = 0.75,
+) -> jnp.ndarray:
+    """Causal sparse-Sinkhorn attention (reference dispatches the pip
+    `SinkhornCausalAttention(bucket_size=k)`, perlin_opt.py:184-196,478).
+
+    Query block i attends causally within its own block plus one softly
+    matched *strictly earlier* block. Matching is row-normalised only:
+    full Sinkhorn column normalisation would couple a row's permutation to
+    future queries and break causality (the reference's third-party causal
+    variant restricts bucket attention the same way). Block 0 attends to
+    itself only.
+    """
+    N, H, T, D = q.shape
+    B = block_size
+    pad = (-T) % B
+    if pad:
+        cfgp = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(x, cfgp) for x in (q, k, v))
+    Tp = T + pad
+    nb = Tp // B
+    qb = q.reshape(N, H, nb, B, D)
+    kb = k.reshape(N, H, nb, B, D)
+    vb = v.reshape(N, H, nb, B, D)
+    # block representative = the block's FIRST query: a block-mean would let
+    # later in-block queries leak into the match used by earlier positions
+    q_repr = qb[:, :, :, 0]
+    k_mean = kb.mean(3)
+    logits = jnp.einsum("nhid,nhjd->nhij", q_repr, k_mean).astype(jnp.float32)
+    logits = logits / temperature
+    i_ids = jnp.arange(nb)[:, None]
+    j_ids = jnp.arange(nb)[None, :]
+    past = j_ids < i_ids  # strictly earlier blocks
+    logits = jnp.where(past[None, None], logits, -1e9)
+    log_p = logits
+    for _ in range(match_iters):
+        log_p = log_p - jax.nn.logsumexp(log_p, axis=-1, keepdims=True)
+    p = jnp.exp(log_p) * past[None, None]
+    k_perm = jnp.einsum("nhij,nhjsd->nhisd", p, kb.astype(jnp.float32))
+    v_perm = jnp.einsum("nhij,nhjsd->nhisd", p, vb.astype(jnp.float32))
+
+    scores_own = jnp.einsum(
+        "nhitd,nhisd->nhits", qb.astype(jnp.float32), kb.astype(jnp.float32)
+    ) / math.sqrt(D)
+    within = jnp.arange(B)[:, None] >= jnp.arange(B)[None, :]
+    # padded tail rows/cols are dead via the causal-within mask plus row slicing
+    scores_own = jnp.where(within[None, None, None], scores_own, -1e9)
+    scores_match = jnp.einsum(
+        "nhitd,nhisd->nhits", qb.astype(jnp.float32), k_perm
+    ) / math.sqrt(D)
+    has_past = (i_ids[:, 0] > 0)[None, None, :, None, None]
+    scores_match = jnp.where(has_past, scores_match, -1e9)
+
+    scores = jnp.concatenate([scores_own, scores_match], axis=-1)
+    probs = jax.nn.softmax(scores, -1)
+    vs = jnp.concatenate([vb.astype(jnp.float32), v_perm], axis=3)
+    out = jnp.einsum("nhits,nhisd->nhitd", probs, vs)
+    out = out.reshape(N, H, Tp, D)[:, :, :T].astype(q.dtype)
+    return out

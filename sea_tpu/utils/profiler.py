@@ -107,3 +107,33 @@ _BENCH = Benchmark()
 
 def get_bench() -> Benchmark:
     return _BENCH
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str, host_tracer_level: int = 2):
+    """On-device profiling via jax.profiler (xprof/XPlane) — the device-side
+    complement to the eager region tree above. Inside the scope, jitted
+    computation is traced by the runtime itself (per-op device timings),
+    answering questions the eager tree cannot (e.g. which kernel stage
+    dominates inside one fused jit). View with tensorboard/xprof.
+
+    Region names from `Benchmark.region` do not cross into the device
+    timeline; annotate jit-internal stages with
+    `jax.named_scope`/`jax.profiler.TraceAnnotation` where needed.
+    Degrades to a no-op if the backend cannot trace (remote relays)."""
+    import jax
+
+    started = False
+    try:
+        jax.profiler.start_trace(log_dir, create_perfetto_link=False)
+        started = True
+    except Exception:
+        pass
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass

@@ -12,7 +12,7 @@ from tests.test_attention import small_cfg, make_inputs
 
 @pytest.mark.parametrize("T", [16, 40])
 def test_decode_matches_prefill(T):
-    cfg = small_cfg(causal=True)
+    cfg = small_cfg(causal=True, use_cache=True)
     N = 1
     inputs = make_inputs(cfg, N=N, T=T, seed=5)
     q, k, v, mask, truth, ctx_truth = inputs

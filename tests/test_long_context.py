@@ -53,3 +53,22 @@ def test_extended_context_forward():
     new_vars = {**variables, "params": new_params}
     out = jax.jit(lambda v: model2.apply(v, ids2, mask2)["logits"])(new_vars)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_long_context_sweep_driver():
+    """The (context x dynamic_k x query_skips) grid driver (reference
+    src/main/exp_long_context.py) produces finite ppl per combo."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from exp_long_context import sweep
+
+    res = sweep(
+        model="tiny", contexts=(64, 128), dynamic_ks=(0, 4),
+        query_skips=(1, 2), n_eval_batches=2,
+    )
+    assert len(res) == 8
+    for r in res:
+        assert np.isfinite(r["ppl"]) and r["ppl"] > 0
+    # dynamic_k/query_skips actually change the result
+    base = [r["ppl"] for r in res if r["context"] == 128]
+    assert len(set(base)) > 1

@@ -84,3 +84,45 @@ def test_lora_in_approx_separates_estimator_branch():
     assert any("perlin_q_score_lora" in n for n in names)
     out = jax.jit(lambda v: m1.apply(v, ids, mask)["logits"])(v1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bert_lora_wiring():
+    """LoRA on the BERT/GLUE path (reference self_attention.py:95-175 is
+    shared by BERT; round-1 only wired OPT)."""
+    import dataclasses
+    import numpy as np
+    import jax
+    from tests.test_bert_kd import tiny_bert, make_batch
+    from sea_tpu.models.bert import BertForSequenceClassification
+
+    cfg = tiny_bert("perlin")
+    cfg = dataclasses.replace(
+        cfg,
+        sea=dataclasses.replace(
+            cfg.sea, lora_enabled=True, lora_in_approx_enabled=True, lora_r=4
+        ),
+    )
+    model = BertForSequenceClassification(cfg)
+    ids, mask, labels = make_batch()
+    tt = None
+    variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask, tt))()
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = ["/".join(str(getattr(x, "key", x)) for x in p) for p, _ in flat]
+    for want in ("perlin_q_lora", "perlin_k_atten_lora", "perlin_q_score_lora"):
+        assert any(want in n for n in names), want
+    out = jax.jit(lambda v: model.apply(v, ids, mask, tt, labels=labels))(variables)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    # zero-init B: LoRA deltas start as identity (same output as no-LoRA)
+    cfg0 = tiny_bert("perlin")
+    model0 = BertForSequenceClassification(cfg0)
+    v0 = jax.jit(lambda: model0.init(jax.random.key(0), ids, mask, tt))()
+    # copy shared weights from the LoRA model for comparability
+    def strip(d):
+        return {k: strip(v) if isinstance(v, dict) else v
+                for k, v in d.items() if "lora" not in k}
+    out0 = jax.jit(lambda v: model0.apply(v, ids, mask, tt, labels=labels))(
+        {"params": strip(variables["params"]), **{k: v for k, v in variables.items() if k != "params"}}
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(out0["logits"]), atol=1e-5
+    )

@@ -24,6 +24,7 @@ def tiny_opt(method="perlin"):
         k=2,
         performer_nb_factor=1,
         causal=True,
+        use_cache=True,
         max_position_embeddings=64,
     ).validate()
     return OptConfig(
@@ -129,3 +130,40 @@ def test_benchmark_forward(setup):
         lambda v: kd.student.apply(v, ids, mask, benchmarking=True)
     )(s_vars)
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+@pytest.mark.parametrize("builder_name", ["opt_1_3b", "opt_2_7b"])
+def test_large_opt_kd_graph_builds(builder_name):
+    """opt-1.3b/2.7b geometry traces at full size (eval_shape: no
+    FLOPs/memory) and lands at the family's parameter count."""
+    import sea_tpu.models.opt as opt_mod
+    from sea_tpu.models.opt import OptForCausalLM
+
+    builder = getattr(opt_mod, builder_name)
+    t_cfg = builder("none")
+    s_cfg = builder("perlin")
+    N, T = 1, 256
+    ids = jnp.ones((N, T), jnp.int32)
+    mask = jnp.ones((N, T), jnp.int32)
+
+    t_shapes = jax.eval_shape(
+        lambda: OptForCausalLM(t_cfg).init(jax.random.key(0), ids, mask)
+    )
+    n_params = sum(
+        int(np.prod(s.shape))
+        for s in jax.tree_util.tree_leaves(t_shapes["params"])
+    )
+    want = {"opt_1_3b": 1.3e9, "opt_2_7b": 2.65e9}[builder_name]
+    assert want * 0.85 < n_params < want * 1.35, n_params
+
+    # the student (perlin) KD loss graph also traces at this geometry
+    from sea_tpu.training.distill import SeaOptKD
+
+    kd = SeaOptKD(t_cfg, s_cfg)
+    t_v = jax.eval_shape(lambda: kd.teacher.init(jax.random.key(0), ids, mask))
+    s_v = jax.eval_shape(lambda: kd.student.init(jax.random.key(1), ids, mask))
+    out = jax.eval_shape(
+        lambda tv, sv: kd.kd_loss(tv, sv, ids, mask, ids, use_remat=True)[0],
+        t_v, s_v,
+    )
+    assert out.shape == ()

@@ -62,3 +62,31 @@ def test_bert_with_token_merging():
     variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
     out = jax.jit(lambda v: model.apply(v, ids, mask, labels=labels))(variables)
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_tome_probs_score_source():
+    """'probs' merge-score source (reference perlin_bert.py:836-842) on the
+    dense teacher and the perlin train path."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.test_bert_kd import tiny_bert, make_batch
+
+    for method in ("none", "perlin"):
+        cfg = tiny_bert(method)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, token_merging=True, token_merging_score_source="probs"
+        )
+        from sea_tpu.models.bert import BertForSequenceClassification
+
+        model = BertForSequenceClassification(cfg)
+        ids, mask, labels = make_batch()
+        tt = None
+        variables = jax.jit(
+            lambda: model.init(jax.random.key(0), ids, mask, tt)
+        )()
+        out = jax.jit(
+            lambda v: model.apply(v, ids, mask, tt, labels=labels)
+        )(variables)
+        assert np.isfinite(np.asarray(out["logits"])).all(), method
