@@ -87,7 +87,11 @@ class SeaConfig:
     # fused-kernel query block size override; None = auto (largest of
     # 512/256/128 dividing the padded sequence)
     block_q: Optional[int] = None
-    # use the fused pallas sparse kernels (else pure-XLA gather path)
+    # use the fused pallas sparse kernels. False routes benchmarking through
+    # the uniform-CSR jnp chain — bit-parity with the reference's Triton
+    # expansion semantics, but gather-bound on TPU: a DEBUG/PARITY path,
+    # never a production fallback (no config silently lands here; the fused
+    # path covers every canonical configuration)
     use_pallas: bool = True
     # task-only training (no KD truth tensors) through the differentiable
     # fused kernel (custom_vjp flash backward) instead of the dense O(T^2)

@@ -61,6 +61,13 @@ class OptConfig:
     # build only embeddings/finalize/lm-head; the layer stack lives outside
     # (used by the scanned teacher/student KD pair in training/distill.py)
     external_layers: bool = False
+    # static mode of the scanned layer body (nn.scan traces one body; a
+    # per-call python flag cannot vary per trace): False = train path,
+    # True = fused benchmark path
+    scan_benchmarking: bool = False
+    # rematerialise the scanned layer body under grad (activation memory of
+    # ONE layer instead of num_layers — required for long-context training)
+    scan_remat: bool = False
     sea: SeaConfig = dataclasses.field(default_factory=SeaConfig)
 
     @property
@@ -364,6 +371,7 @@ class OptDecoderLayer(nn.Module):
         rng: Optional[jax.Array] = None,
     ):
         c = self.cfg
+        in_dtype = hidden_states.dtype
         if c.sea.layerwise and training:
             # layerwise training: every layer optimises its own distillation
             # loss; gradients do not cross layer boundaries (reference
@@ -395,7 +403,9 @@ class OptDecoderLayer(nn.Module):
         h = residual + h
         if not c.do_layer_norm_before:
             h = self.final_layer_norm(h)
-        return h, aux_loss, capture
+        # inter-layer activations stay in compute_dtype (f32 islands inside
+        # the attention/scaler paths would otherwise promote the residual)
+        return h.astype(in_dtype), aux_loss, capture
 
     def decode(self, hidden_states: jnp.ndarray, state):
         c = self.cfg
@@ -426,7 +436,9 @@ class _LayerScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, carry, causal_mask):
-        h, aux, _ = OptDecoderLayer(self.cfg, name="layer")(carry, causal_mask)
+        h, aux, _ = OptDecoderLayer(self.cfg, name="layer")(
+            carry, causal_mask, benchmarking=self.cfg.scan_benchmarking
+        )
         return h, (aux if aux is not None else jnp.float32(0.0))
 
 
@@ -446,8 +458,13 @@ class OptModel(nn.Module):
         if c.external_layers:
             self.layers = []
         elif c.scan_layers:
+            body = (
+                nn.remat(_LayerScanBody, prevent_cse=False)
+                if c.scan_remat
+                else _LayerScanBody
+            )
             self.scanned_layers = nn.scan(
-                _LayerScanBody,
+                body,
                 variable_axes={"params": 0, "performer": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
@@ -588,6 +605,99 @@ class OptForCausalLM(nn.Module):
             gen_body, (states, last_logits), jnp.arange(num_steps, dtype=jnp.int32)
         )
         return jnp.swapaxes(tokens, 0, 1)  # (N, num_steps)
+
+    def generate_beam(
+        self,
+        prompt_ids: jnp.ndarray,  # (N, P)
+        max_len: int,
+        num_steps: int,
+        beam_size: int = 4,
+        length_penalty: float = 1.0,
+    ):
+        """On-device beam search over the SEA decode cache (serving path;
+        the reference leans on HF `generate`'s beam machinery —
+        `main/opt_generate.py` — which loops on the host; here the whole
+        search is one lax.scan). Fixed step count, no EOS early exit.
+
+        Returns (tokens (N, beam_size, num_steps), scores (N, beam_size))
+        sorted best-first per batch row."""
+        N, P = prompt_ids.shape
+        B = beam_size
+        V = self.cfg.vocab_size
+
+        # prefill once at batch N, then replicate states across beams
+        states = self.init_decode_states(N, max_len, jnp.float32)
+
+        def prefill_body(carry, t):
+            states = carry
+            logits, states = self.decode_step(
+                jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+            )
+            return states, logits[:, 0]
+
+        states, prefill_logits = jax.lax.scan(
+            prefill_body, states, jnp.arange(P, dtype=jnp.int32)
+        )
+        logp0 = jax.nn.log_softmax(prefill_logits[-1].astype(jnp.float32), -1)
+        top0 = jax.lax.top_k(logp0, B)  # (N, B) values, indices
+        beam_logp = top0[0]  # (N, B)
+        first_tok = top0[1].astype(jnp.int32)  # (N, B)
+
+        def rep(x):  # (N, ...) -> (N*B, ...) repeating each row B times
+            return jnp.repeat(x, B, axis=0)
+
+        states = jax.tree_util.tree_map(
+            lambda x: rep(x) if hasattr(x, "ndim") and x.ndim > 0 else x, states
+        )
+        last_tok = first_tok.reshape(N * B, 1)
+
+        def gen_body(carry, i):
+            states, beam_logp, last_tok = carry
+            logits, states = self.decode_step(last_tok, P + i, states)
+            logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
+            total = beam_logp.reshape(N, B, 1) + logp.reshape(N, B, V)
+            vals, flat_idx = jax.lax.top_k(total.reshape(N, B * V), B)
+            parent = (flat_idx // V).astype(jnp.int32)  # (N, B)
+            tok = (flat_idx % V).astype(jnp.int32)
+            # reorder decode states by surviving parent beams
+            gather_idx = (
+                jnp.arange(N, dtype=jnp.int32)[:, None] * B + parent
+            ).reshape(-1)
+            states = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, gather_idx, axis=0)
+                if hasattr(x, "ndim") and x.ndim > 0
+                else x,
+                states,
+            )
+            return (states, vals, tok.reshape(N * B, 1)), (tok, parent)
+
+        (states, beam_logp, last_tok), (toks, parents) = jax.lax.scan(
+            gen_body,
+            (states, beam_logp, last_tok),
+            jnp.arange(0, num_steps - 1, dtype=jnp.int32),
+        )
+
+        # backtrack beam paths: toks/parents are (num_steps-1, N, B)
+        def backtrack(carry, tp):
+            beam_ptr = carry  # (N, B) which beam each final beam was at t+1
+            tok_t, parent_t = tp
+            tok_here = jnp.take_along_axis(tok_t, beam_ptr, axis=-1)
+            beam_ptr = jnp.take_along_axis(parent_t, beam_ptr, axis=-1)
+            return beam_ptr, tok_here
+
+        init_ptr = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[None, :], (N, B)
+        )
+        beam_ptr, rev_toks = jax.lax.scan(
+            backtrack, init_ptr, (toks, parents), reverse=True
+        )
+        first = jnp.take_along_axis(first_tok, beam_ptr, axis=-1)  # (N, B)
+        seq = jnp.concatenate(
+            [first[None], rev_toks], axis=0
+        )  # (num_steps, N, B)
+        seq = jnp.transpose(seq, (1, 2, 0))  # (N, B, num_steps)
+        scores = beam_logp / (num_steps ** length_penalty)
+        return seq, scores
 
     def logits(self, h: jnp.ndarray) -> jnp.ndarray:
         embedding = self.model.embed_tokens.embedding

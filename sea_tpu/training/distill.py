@@ -151,6 +151,8 @@ class SeaOptKDScan:
         attention_mask_1d: jnp.ndarray,
         labels: jnp.ndarray,
         rng: Optional[jax.Array] = None,
+        task_scale: float = 0.1,
+        ignore_kd: bool = False,
     ):
         def pick(coll_key, who):
             return {
@@ -204,10 +206,16 @@ class SeaOptKDScan:
             (target * (jnp.log(target + 1e-12) - log_input)).sum()
             / lt.shape[0] * 0.2
         )
-        loss = 0.1 * task_loss + loss_hidden + loss_logit_kl + loss_special
+        if ignore_kd:
+            loss = task_loss
+        else:
+            loss = (
+                task_scale * task_loss + loss_hidden + loss_logit_kl
+                + loss_special
+            )
         return loss, {
             "loss": loss,
-            "loss_model": 0.1 * task_loss,
+            "loss_model": task_scale * task_loss,
             "loss_kd_hidden": loss_hidden,
             "loss_kd_logit": loss_logit_kl,
             "loss_sp": loss_special,
@@ -335,8 +343,14 @@ class SeaOptKD:
         labels: jnp.ndarray,
         rng: Optional[jax.Array] = None,
         use_remat: bool = True,
+        task_scale: float = 0.1,
+        ignore_kd: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Full interleaved KD forward; returns (loss, detail dict)."""
+        """Full interleaved KD forward; returns (loss, detail dict).
+
+        task_scale: weight of the student CE term (reference __TASK_LOSS,
+        opt_trainer.py:145-146). ignore_kd: drop the KD and special terms
+        entirely (reference IGNORE_KD_LOSS, opt_trainer.py:177-181)."""
         h_t, causal_mask = self._embed(
             self.teacher, teacher_variables, input_ids, attention_mask_1d
         )
@@ -393,10 +407,16 @@ class SeaOptKD:
             (target * (jnp.log(target + 1e-12) - log_input)).sum() / lt.shape[0] * 0.2
         )
 
-        loss = 0.1 * task_loss + loss_hidden + loss_logit_kl + loss_special
+        if ignore_kd:
+            loss = task_loss
+        else:
+            loss = (
+                task_scale * task_loss + loss_hidden + loss_logit_kl
+                + loss_special
+            )
         return loss, {
             "loss": loss,
-            "loss_model": 0.1 * task_loss,
+            "loss_model": task_scale * task_loss,
             "loss_kd_hidden": loss_hidden,
             "loss_kd_logit": loss_logit_kl,
             "loss_sp": loss_special,

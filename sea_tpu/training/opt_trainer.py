@@ -66,6 +66,11 @@ class TrainerConfig:
     # axis, params/optimizer replicated (XLA inserts the grad all-reduce) —
     # the DeepSpeed-DP analogue; requires batch_size % n_devices == 0
     data_parallel: bool = False
+    # student CE weight (reference __TASK_LOSS env, opt_trainer.py:145-146)
+    task_loss_scale: float = 0.1
+    # train on the task loss alone, dropping every KD term (reference
+    # IGNORE_KD_LOSS env, opt_trainer.py:177-181)
+    ignore_kd_loss: bool = False
 
 
 def _dealias(tree):
@@ -222,6 +227,8 @@ class OptTrainer:
             return self.kd.kd_loss(
                 t_vars, sv, ids, mask, labels, rng=rng,
                 use_remat=self.cfg.use_remat,
+                task_scale=self.cfg.task_loss_scale,
+                ignore_kd=self.cfg.ignore_kd_loss,
             )
 
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(s_params)
@@ -233,7 +240,11 @@ class OptTrainer:
         def loss_fn(p):
             cv = dict(self.combined_extra)
             cv["params"] = p
-            return self.kds.kd_loss(cv, ids, mask, labels, rng=rng)
+            return self.kds.kd_loss(
+                cv, ids, mask, labels, rng=rng,
+                task_scale=self.cfg.task_loss_scale,
+                ignore_kd=self.cfg.ignore_kd_loss,
+            )
 
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(c_params)
         updates, opt_state = self.tx.update(grads, opt_state, c_params)

@@ -57,3 +57,33 @@ def test_scan_kd_teacher_grads_zero():
     s_grad = total(g["params"]["student"]) + total(g["params"]["pairs"]["student"])
     assert t_grad == 0.0, t_grad
     assert s_grad > 0
+
+
+def test_kd_loss_knobs_task_scale_and_ignore():
+    """__TASK_LOSS / IGNORE_KD_LOSS analogues (reference
+    opt_trainer.py:145-146,177-181)."""
+    from tests.test_opt_kd import tiny_opt, make_batch
+    from sea_tpu.training.distill import SeaOptKD
+
+    kd = SeaOptKD(tiny_opt("none"), tiny_opt("perlin"))
+    ids, mask = make_batch(N=1, T=16, vocab=128)
+    t_vars = jax.jit(lambda: kd.teacher.init(jax.random.key(0), ids, mask))()
+    s_vars = jax.jit(lambda: kd.student.init(jax.random.key(1), ids, mask))()
+
+    loss_def, det_def = jax.jit(
+        lambda: kd.kd_loss(t_vars, s_vars, ids, mask, ids)
+    )()
+    loss_ign, det_ign = jax.jit(
+        lambda: kd.kd_loss(t_vars, s_vars, ids, mask, ids, ignore_kd=True)
+    )()
+    np.testing.assert_allclose(
+        float(loss_ign), float(det_ign["student_task_loss"]), rtol=1e-6
+    )
+    loss_ts, det_ts = jax.jit(
+        lambda: kd.kd_loss(t_vars, s_vars, ids, mask, ids, task_scale=1.0)
+    )()
+    np.testing.assert_allclose(
+        float(det_ts["loss_model"]), float(det_ts["student_task_loss"]),
+        rtol=1e-6,
+    )
+    assert float(loss_ts) > float(loss_def)

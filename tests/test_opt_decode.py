@@ -79,3 +79,67 @@ def test_generate_scan_matches_python_loop():
             variables, jnp.asarray([[nxt]], jnp.int32), jnp.int32(P + i), states
         )
     np.testing.assert_array_equal(scan_tokens[0], np.asarray(out))
+
+
+def test_beam_search_beam1_matches_greedy():
+    """Beam search with beam_size=1 must reproduce greedy decoding, and
+    wider beams must score at least as well (serving decode path)."""
+    cfg = tiny_opt("perlin")
+    model = OptForCausalLM(cfg)
+    N, P, STEPS, MAXLEN = 1, 6, 6, 32
+    rng = np.random.default_rng(4)
+    prompt = jnp.asarray(rng.integers(4, cfg.vocab_size, (N, P)), jnp.int32)
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), jnp.ones((N, P), jnp.int32),
+            jnp.ones((N, P), jnp.int32),
+        )
+    )()
+
+    greedy = model.apply(
+        variables, prompt, MAXLEN, STEPS,
+        method=lambda m, p, L, s: m.generate_greedy(p, L, s),
+    )
+    beams, scores = model.apply(
+        variables, prompt, MAXLEN, STEPS,
+        method=lambda m, p, L, s: m.generate_beam(p, L, s, beam_size=1),
+    )
+    np.testing.assert_array_equal(np.asarray(beams[:, 0]), np.asarray(greedy))
+
+    beams4, scores4 = model.apply(
+        variables, prompt, MAXLEN, STEPS,
+        method=lambda m, p, L, s: m.generate_beam(p, L, s, beam_size=4),
+    )
+    assert beams4.shape == (N, 4, STEPS)
+    # beams sorted best-first and the best beam-4 score >= beam-1 score
+    s4 = np.asarray(scores4)
+    assert (np.diff(s4, axis=-1) <= 1e-6).all()
+    assert s4[0, 0] >= float(np.asarray(scores)[0, 0]) - 1e-6
+
+
+def test_batched_beam_search():
+    cfg = tiny_opt("perlin")
+    model = OptForCausalLM(cfg)
+    N, P, STEPS, MAXLEN = 3, 5, 4, 24
+    rng = np.random.default_rng(7)
+    prompt = jnp.asarray(rng.integers(4, cfg.vocab_size, (N, P)), jnp.int32)
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), jnp.ones((N, P), jnp.int32),
+            jnp.ones((N, P), jnp.int32),
+        )
+    )()
+    beams, scores = model.apply(
+        variables, prompt, MAXLEN, STEPS,
+        method=lambda m, p, L, s: m.generate_beam(p, L, s, beam_size=3),
+    )
+    assert beams.shape == (N, 3, STEPS) and scores.shape == (N, 3)
+    assert np.isfinite(np.asarray(scores)).all()
+    # each batch row's beam search is independent: permuting the batch
+    # permutes the outputs
+    perm = jnp.asarray([2, 0, 1])
+    beams_p, _ = model.apply(
+        variables, prompt[perm], MAXLEN, STEPS,
+        method=lambda m, p, L, s: m.generate_beam(p, L, s, beam_size=3),
+    )
+    np.testing.assert_array_equal(np.asarray(beams_p), np.asarray(beams)[perm])
