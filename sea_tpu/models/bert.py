@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, List, NamedTuple, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

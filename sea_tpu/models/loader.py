@@ -12,7 +12,7 @@ are attempted only if `allow_download=True`.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

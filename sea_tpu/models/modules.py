@@ -17,7 +17,6 @@ holes; on TPU we simply compute resizes in fp32 and cast back.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax

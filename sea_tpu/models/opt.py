@@ -22,8 +22,7 @@ Model dims follow facebook/opt-125m (worked from the HF config, not copied).
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ forces fp32 around the performer, `attention.py:518-534`).
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

@@ -18,7 +18,6 @@ rematerializes instead of saving dense probability tensors.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -10,9 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 import os
-import time
 from typing import Optional
 
 import numpy as np
