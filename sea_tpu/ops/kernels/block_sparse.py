@@ -251,6 +251,9 @@ def _causal_kernel_flat(
     m_scr,  # (BQ, 128) f32
     l_scr,  # (BQ, 128) f32
     acc_scr,  # (BQ, D) f32
+    ab_scr,  # (BQ, 128) f32 — lanes 0/1 hold the per-row pixel slope a and
+    #          intercept base (j-invariant: computed once per q-tile; the
+    #          divide per k-step measurably dominated at small block_k)
     *,
     t_m: int,
     block_q: int,
@@ -270,6 +273,10 @@ def _causal_kernel_flat(
         m_scr[:] = jnp.full_like(m_scr, M_INIT)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        a0 = (1.0 / w) * jnp.float32(t_m)
+        ab_scr[:] = jnp.broadcast_to(a0, ab_scr.shape)
 
     @pl.when(j < count)
     def _compute():
@@ -279,9 +286,7 @@ def _causal_kernel_flat(
         )  # (BQ, BK) f32
 
         bk = idx_ref[h, i, j]
-        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
-        w = (rows + 1).astype(jnp.float32)
-        a = (1.0 / w) * jnp.float32(t_m)
+        a = ab_scr[:, 0:1]
         b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
         colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
         u = colio * a + b2
@@ -296,6 +301,10 @@ def _causal_kernel_flat(
             word = jnp.where(word_idx == wi, wcol, word)
         alive = ((word >> bit_idx) & 1) == 1
         if oversample != 1.0:
+            rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, 1), 0
+            )
+            w = (rows + 1).astype(jnp.float32)
             ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
             oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
             thr = (1.0 / oys) * 0.5 + 1e-4
@@ -732,7 +741,8 @@ def sea_block_sparse_attention(
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
-            ],
+            ] + ([pltpu.VMEM((block_q, 128), jnp.float32)]
+                 if impl == "flat" else []),
         )
         out = pl.pallas_call(
             kernel,
@@ -954,7 +964,7 @@ def _causal_kernel_fwd_stats(
     counts_ref, idx_ref, submask_ref, rowbase_ref,
     q_ref, k_ref, v_ref, mbits_ref, scale_ref,
     o_ref, lse_ref,  # extra output: per-row logsumexp (1, BQ, 128)
-    m_scr, l_scr, acc_scr,
+    m_scr, l_scr, acc_scr, ab_scr,
     *, t_m, block_q, block_k, n_words,
 ):
     h = pl.program_id(0)
@@ -968,6 +978,9 @@ def _causal_kernel_fwd_stats(
         m_scr[:] = jnp.full_like(m_scr, M_INIT)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        ab_scr[:] = jnp.broadcast_to((1.0 / w) * jnp.float32(t_m), ab_scr.shape)
 
     @pl.when(j < count)
     def _compute():
@@ -976,9 +989,7 @@ def _causal_kernel_fwd_stats(
             preferred_element_type=jnp.float32,
         )
         bk = idx_ref[h, i, j]
-        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
-        w = (rows + 1).astype(jnp.float32)
-        a = (1.0 / w) * jnp.float32(t_m)
+        a = ab_scr[:, 0:1]
         b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)
         colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
         pix = (colio * a + b2).astype(jnp.int32)
@@ -1015,15 +1026,19 @@ def _causal_kernel_fwd_stats(
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref[0].shape)
 
 
-def _alive_scores(q_blk, k_blk, rowbase, bk, t_m, n_words, mbits_ref, BQ, BK):
-    """Shared recompute: masked scores for one (q-block, k-block) tile."""
+def _alive_scores(q_blk, k_blk, rowbase, bk, t_m, n_words, mbits_ref, BQ, BK,
+                  a=None):
+    """Shared recompute: masked scores for one (q-block, k-block) tile.
+    `a` is the per-row pixel slope T_M/w; pass it precomputed when the
+    q-block is grid-invariant (the divide per step is measurable)."""
     s = jax.lax.dot_general(
         q_blk, k_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rows = rowbase + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
-    w = (rows + 1).astype(jnp.float32)
-    a = (1.0 / w) * jnp.float32(t_m)
+    if a is None:
+        rows = rowbase + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        a = (1.0 / w) * jnp.float32(t_m)
     b2 = bk.astype(jnp.float32) * a + (a * 0.5 - 1e-4)
     colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
     pix = (colio * a + b2).astype(jnp.int32)
@@ -1041,7 +1056,7 @@ def _causal_kernel_dq(
     counts_ref, idx_ref, submask_ref, rowbase_ref,
     q_ref, k_ref, v_ref, mbits_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
-    dq_scr,
+    dq_scr, ab_scr,
     *, t_m, block_q, block_k, n_words,
 ):
     h = pl.program_id(0)
@@ -1053,13 +1068,16 @@ def _causal_kernel_dq(
     @pl.when(j == 0)
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
+        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        ab_scr[:] = jnp.broadcast_to((1.0 / w) * jnp.float32(t_m), ab_scr.shape)
 
     @pl.when(j < count)
     def _compute():
         bk = idx_ref[h, i, j] * BK
         s = _alive_scores(
             q_ref[0], k_ref[0], rowbase_ref[h, i], bk, t_m, n_words,
-            mbits_ref, BQ, BK,
+            mbits_ref, BQ, BK, a=ab_scr[:, 0:1],
         )
         p = jnp.exp(s - lse_ref[0][:, 0:1])  # (BQ, BK), 0 off-mask
         dp = jax.lax.dot_general(
@@ -1183,6 +1201,7 @@ def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret):
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
         ],
     )
     o, lse = pl.pallas_call(
@@ -1273,7 +1292,10 @@ def _fused_bwd(block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
     )
     lsef = lse  # (NH, T_DST, 128) f32 from the stats forward
     dq = pl.pallas_call(
