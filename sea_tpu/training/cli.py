@@ -104,6 +104,7 @@ def build_trainer(args):
         exp = format_exp(f"wikitext2_{args.model}", args)
         kw = dict(
             model=args.model,
+            method=args.method,
             k=args.k,
             predictor_length=args.predictor_length,
             nb_factor=int(args.performer_nb_feature_factor),

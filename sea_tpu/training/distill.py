@@ -383,6 +383,8 @@ class SeaOptKD:
             if use_remat:
                 pair = jax.checkpoint(pair)
             h_t, h_s, aux = pair(h_t, h_s, causal_mask, layer_rng)
+            if aux is None:  # baseline students carry no attention-KD loss
+                aux = jnp.float32(0.0)
             loss_hidden += jnp.mean(
                 (h_t.astype(jnp.float32) - h_s.astype(jnp.float32)) ** 2
             )

@@ -33,7 +33,10 @@ from .optimizer import make_optimizer
 
 @dataclasses.dataclass
 class TrainerConfig:
-    model: str = "opt-125m"  # 'tiny' | 'opt-125m' | 'opt-350m'
+    model: str = "opt-125m"  # 'tiny' | 'opt-125m' | 'opt-350m' | 'opt-1.3b' | 'opt-2.7b'
+    # student attention method (reference --method): 'perlin' or one of the
+    # causal baselines 'performer' | 'reformer' | 'sinkhorn' | 'cosformer'
+    method: str = "perlin"
     teacher_checkpoint: Optional[str] = None  # local dir with HF weights
     k: int = 64
     predictor_length: int = 256
@@ -82,7 +85,7 @@ def _dealias(tree):
     )
 
 
-def tiny_configs() -> Tuple[OptConfig, OptConfig]:
+def tiny_configs(method: str = "perlin") -> Tuple[OptConfig, OptConfig]:
     sea = SeaConfig(
         num_heads=2, head_dim=8, predictor_length=8, k=2,
         performer_nb_factor=1, causal=True, max_position_embeddings=128,
@@ -93,13 +96,13 @@ def tiny_configs() -> Tuple[OptConfig, OptConfig]:
     )
     return (
         OptConfig(attention_method="none", **kw),
-        OptConfig(attention_method="perlin", **kw),
+        OptConfig(attention_method=method, **kw),
     )
 
 
 def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
     if cfg.model == "tiny":
-        return tiny_configs()
+        return tiny_configs(cfg.method)
     # head geometry must match the model family
     heads = {"opt-125m": 12, "opt-350m": 16, "opt-1.3b": 32, "opt-2.7b": 32}[cfg.model]
     head_dim = {"opt-125m": 64, "opt-350m": 64, "opt-1.3b": 64, "opt-2.7b": 80}[cfg.model]
@@ -112,7 +115,7 @@ def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
     )
     builder = {"opt-125m": opt_125m, "opt-350m": opt_350m,
                "opt-1.3b": opt_1_3b, "opt-2.7b": opt_2_7b}[cfg.model]
-    return builder("none", sea), builder("perlin", sea)
+    return builder("none", sea), builder(cfg.method, sea)
 
 
 class OptTrainer:

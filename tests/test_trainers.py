@@ -314,3 +314,36 @@ def test_glue_stsb_regression_smoke(tmp_path):
     tr.train()
     score = tr.evaluate(max_batches=2)
     assert np.isfinite(score)
+
+
+def test_opt_launch_wrapper_presets():
+    """scripts/opt.py maps models to TPU memory-plan presets (the analogue
+    of the reference's per-model DeepSpeed config table)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import importlib
+    opt_launch = importlib.import_module("opt")
+
+    argv = opt_launch.build_argv(["--model", "opt-1.3b", "--method", "perlin"])
+    assert "--scan-kd" in argv and "--data-parallel" in argv
+    assert argv[argv.index("--model") + 1] == "opt-1.3b"
+    argv = opt_launch.build_argv(
+        ["--model", "tiny", "--method", "cosformer", "--num-steps", "1"]
+    )
+    assert "--scan-kd" not in argv and "--num-steps" in argv
+
+
+def test_opt_trainer_baseline_student_method(tmp_path):
+    """--method reformer/cosformer/sinkhorn trains a baseline student under
+    the same KD trainer (reference scripts/opt.py SUPPORTED_METHODS)."""
+    from sea_tpu.training.opt_trainer import OptTrainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        model="tiny", method="cosformer", max_seq_len=64, stride=32,
+        batch_size=2, gradient_accumulation_steps=1, num_steps=2,
+        eval_steps=100, log_steps=100, save_dir=str(tmp_path),
+    )
+    tr = OptTrainer(cfg)
+    assert tr.s_cfg.attention_method == "cosformer"
+    tr.train()
+    assert np.isfinite(tr.evaluate(max_batches=2))
