@@ -74,6 +74,17 @@ class SeaAttentionOutput(NamedTuple):
     state: Any
 
 
+def _rowwise_update(
+    cache: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """Write `new` (N, H, 1, D) into `cache` (N, H, S, D) at each row's own
+    position `pos` (N,) — lockstep decode rows share one position, serving
+    slots each carry their own."""
+    return jax.vmap(
+        lambda c, x, p: jax.lax.dynamic_update_slice(c, x, (0, p, 0))
+    )(cache, new, pos)
+
+
 def softmax_fp32(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """softmax in fp32 cast back — the reference's softmax_bf16
     (attention.py:62-72)."""
@@ -860,6 +871,95 @@ class SeaAttention(nn.Module):
         same result as the full dense forward's last row: the FAVOR+ state
         is the exact prefix sum, and the 24-row CNN window covers the
         dilated stack's receptive field."""
+        common = self._decode_common(q, k, v, state)
+        (row_mask, t_pred, S, z, window, filled, pos_b) = common
+        N, H, _, D = q.shape
+
+        # KV cache write at each row's own position (vmapped update — all
+        # rows share one position in lockstep decode, differ in serving)
+        k_cache = _rowwise_update(state.k_cache, k, pos_b)
+        v_cache = _rowwise_update(state.v_cache, v, pos_b)
+
+        # stage 8: dense row attention against the cache
+        scores = jnp.einsum("nhtd,nhsd->nhts", q, k_cache) + row_mask
+        out, cum_sum, cum_len = self._decode_mix(
+            scores, row_mask, v_cache, t_pred, state, v
+        )
+        new_state = SeaDecodeState(
+            performer_S=S,
+            performer_z=z,
+            cnn_window=window,
+            cnn_filled=filled,
+            cumavg_sum=cum_sum,
+            cumavg_len=cum_len,
+            k_cache=k_cache,
+            v_cache=v_cache,
+            length=state.length + 1,
+        )
+        return out, new_state
+
+    def decode_paged(
+        self,
+        q: jnp.ndarray,  # (N, H, 1, D)
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        state: SeaDecodeState,  # k_cache/v_cache may be zero-width (N,H,0,D)
+        pool_k: jnp.ndarray,  # (P, page_size, H, D) — this layer's page pool
+        pool_v: jnp.ndarray,
+        pages: jnp.ndarray,  # (N, max_pages) int32 page ids, position-major
+    ):
+        """One autoregressive step against a paged KV pool (serving path).
+
+        Token t of a sequence lives at (pages[n, t // page_size],
+        t % page_size) in the pool; unallocated tail pages may point at a
+        dummy page — they are masked by the length-derived row mask. The
+        attention math is identical to `decode`; only the cache layout
+        differs. Returns (out, new_state, pool_k, pool_v)."""
+        common = self._decode_common(
+            q, k, v, state, max_len=pages.shape[1] * pool_k.shape[1]
+        )
+        (row_mask, t_pred, S, z, window, filled, pos_b) = common
+        N, H, _, D = q.shape
+        page_size = pool_k.shape[1]
+        mp = pages.shape[1]
+
+        # write the new K/V at (page, offset) per row
+        page_ids = jnp.take_along_axis(
+            pages, (pos_b // page_size)[:, None], axis=1
+        )[:, 0]
+        offsets = pos_b % page_size
+        pool_k = pool_k.at[page_ids, offsets].set(k[:, :, 0, :])
+        pool_v = pool_v.at[page_ids, offsets].set(v[:, :, 0, :])
+
+        # gather this row's pages and attend (position-major layout makes the
+        # flattened axis identical to a contiguous cache of width mp*ps)
+        k_pages = pool_k[pages]  # (N, mp, ps, H, D)
+        v_pages = pool_v[pages]
+        scores = jnp.einsum("nhtd,npshd->nhtps", q, k_pages).reshape(
+            N, H, 1, mp * page_size
+        )
+        scores = scores + row_mask
+        out, cum_sum, cum_len = self._decode_mix(
+            scores, row_mask, v_pages, t_pred, state, v
+        )
+        new_state = SeaDecodeState(
+            performer_S=S,
+            performer_z=z,
+            cnn_window=window,
+            cnn_filled=filled,
+            cumavg_sum=cum_sum,
+            cumavg_len=cum_len,
+            k_cache=state.k_cache,
+            v_cache=state.v_cache,
+            length=state.length + 1,
+        )
+        return out, new_state, pool_k, pool_v
+
+    def _decode_common(self, q, k, v, state, max_len: Optional[int] = None):
+        """Cache-layout-independent decode stages 1-7: identity value,
+        FAVOR+ prefix step, CNN-window predictor, per-row top-k budget and
+        the resized row mask. Positions may be () (lockstep) or (N,)
+        (per-slot serving); everything below is uniformly per-row."""
         cfg = self.cfg
         assert cfg.use_cache, (
             "decode requires SeaConfig(use_cache=True) — the reference gates "
@@ -871,21 +971,18 @@ class SeaAttention(nn.Module):
         )
         N, H, _, D = q.shape
         T_M = cfg.predictor_length
-        max_len = state.k_cache.shape[2]
+        if max_len is None:
+            max_len = state.k_cache.shape[2]
         FP_MIN = fp_min_for(q.dtype)
-        pos = state.length  # index of this token
-        new_len = pos + 1
+        pos_b = jnp.broadcast_to(jnp.asarray(state.length), (N,))  # per-row
+        new_len = (pos_b + 1).astype(jnp.float32)  # (N,)
 
-        k_cache = jax.lax.dynamic_update_slice(state.k_cache, k, (0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(state.v_cache, v, (0, 0, pos, 0))
-
-        # stage 1: identity value row
-        v_id = jax.lax.dynamic_slice(
-            self.v_eye_learned_causal, (0, 0, pos, 0), (1, 1, 1, D)
-        ).astype(v.dtype)
-        v_for_atten = jnp.concatenate(
-            [jnp.broadcast_to(v_id, (N, H, 1, D)), v], axis=-1
+        # stage 1: identity value row (per-row gather from the learned table)
+        v_id = jnp.take(self.v_eye_learned_causal[0, 0], pos_b, axis=0)
+        v_id = jnp.broadcast_to(
+            v_id[:, None, None, :].astype(v.dtype), (N, H, 1, D)
         )
+        v_for_atten = jnp.concatenate([v_id, v], axis=-1)
 
         # stage 2: FAVOR+ prefix step (generalized/relu features, fp32)
         proj = self.performer_proj.value
@@ -911,12 +1008,10 @@ class SeaAttention(nn.Module):
         )
         budget = jnp.maximum(
             jnp.floor(
-                H * (cfg.effective_k * cfg.k_oversample * T_M)
-                / new_len.astype(jnp.float32)
-                + 0.5
+                H * (cfg.effective_k * cfg.k_oversample * T_M) / new_len + 0.5
             ),
             1.0,
-        )
+        )  # (N,)
         order = jnp.argsort(-t, axis=-1, stable=True)
         ranks = jnp.zeros_like(order)
         ranks = jnp.put_along_axis(
@@ -926,31 +1021,46 @@ class SeaAttention(nn.Module):
             axis=-1,
             inplace=False,
         )
-        dead_m = (ranks >= budget).reshape(N, 1, H, T_M).transpose(0, 2, 1, 3)
+        dead_m = (ranks >= budget[:, None, None]).reshape(
+            N, 1, H, T_M
+        ).transpose(0, 2, 1, 3)
         mask_m = jnp.where(dead_m, FP_MIN, 0.0).astype(q.dtype)
 
-        # stage 7: resize the single row to the cache width
+        # stage 7: resize the single row to the cache width (per-row pix)
         s_idx = jnp.arange(max_len, dtype=jnp.float32)
         pix = jnp.floor(
-            (s_idx + 0.5) / new_len.astype(jnp.float32) * T_M - 1e-4
+            (s_idx[None, :] + 0.5) / new_len[:, None] * T_M - 1e-4
         ).astype(jnp.int32)
-        pix = jnp.clip(pix, 0, T_M - 1)
+        pix = jnp.clip(pix, 0, T_M - 1)  # (N, max_len)
         row_mask = jnp.take_along_axis(
             mask_m[:, :, 0, :],
-            jnp.broadcast_to(pix[None, None, :], (N, H, max_len)),
+            jnp.broadcast_to(pix[:, None, :], (N, H, max_len)),
             axis=-1,
         )[:, :, None, :]
-        alive_src = (s_idx < new_len.astype(jnp.float32))[None, None, None, :]
+        alive_src = (s_idx[None, :] < new_len[:, None])[:, None, None, :]
         row_mask = jnp.where(alive_src, row_mask, FP_MIN)
+        return row_mask, t_pred, S, z, window, filled, pos_b
 
-        # stage 8: dense row attention against the cache
-        scores = jnp.einsum("nhtd,nhsd->nhts", q, k_cache) + row_mask
+    def _decode_mix(self, scores, row_mask, v_cache, t_pred, state, v):
+        """Stage 8/8b tail shared by the contiguous and paged decode:
+        masked softmax, sigmoid scaler, value aggregation, cumavg blend.
+        `v_cache` is (N, H, S, D) contiguous or (N, mp, ps, H, D) paged."""
+        cfg = self.cfg
+        N, H, _, D = v.shape
         probs = softmax_fp32(scores, -1)
         probs = jnp.where(row_mask < -1, 0.0, probs)
         estimated_scales = self.dec_scaler(t_pred)
         if cfg.partial_attention_scaler:
             probs = probs * jax.nn.sigmoid(estimated_scales[..., 0:1])
-        ctx = jnp.einsum("nhts,nhsd->nhtd", probs, v_cache)
+        if v_cache.ndim == 5:  # paged (N, mp, ps, H, D)
+            mp, ps = v_cache.shape[1], v_cache.shape[2]
+            ctx = jnp.einsum(
+                "nhtps,npshd->nhtd",
+                probs.reshape(N, H, 1, mp, ps),
+                v_cache,
+            )
+        else:
+            ctx = jnp.einsum("nhts,nhsd->nhtd", probs, v_cache)
 
         # stage 8b: running average mix
         avg, cum_sum, cum_len = cumavg_step(
@@ -958,17 +1068,5 @@ class SeaAttention(nn.Module):
         )
         avg_scale = jax.nn.sigmoid(estimated_scales[..., 1:2])
         ctx = ctx * avg_scale + (1 - avg_scale) * avg
-
         out = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(N, 1, H * D)
-        new_state = SeaDecodeState(
-            performer_S=S,
-            performer_z=z,
-            cnn_window=window,
-            cnn_filled=filled,
-            cumavg_sum=cum_sum,
-            cumavg_len=cum_len,
-            k_cache=k_cache,
-            v_cache=v_cache,
-            length=new_len,
-        )
-        return out, new_state
+        return out, cum_sum, cum_len

@@ -344,6 +344,19 @@ class OptAttention(nn.Module):
         out, new_state = self.perlin.decode(q, k, v, state)
         return self.out_proj(out), new_state
 
+    def decode_paged(self, hidden_states, state, pool_k, pool_v, pages):
+        """Paged-pool decode step (serving path): K/V live in this layer's
+        page pool instead of a per-sequence contiguous cache."""
+        c = self.cfg
+        scaling = c.head_dim ** -0.5
+        q = self._heads(self.q_proj(hidden_states) * scaling)
+        k = self._heads(self.k_proj(hidden_states))
+        v = self._heads(self.v_proj(hidden_states))
+        out, new_state, pool_k, pool_v = self.perlin.decode_paged(
+            q, k, v, state, pool_k, pool_v, pages
+        )
+        return self.out_proj(out), new_state, pool_k, pool_v
+
 
 class OptDecoderLayer(nn.Module):
     """Pre-LN decoder layer (reference perlin_opt.py:638-820)."""
@@ -424,6 +437,27 @@ class OptDecoderLayer(nn.Module):
         if not c.do_layer_norm_before:
             h = self.final_layer_norm(h)
         return h, new_state
+
+    def decode_paged(self, hidden_states, state, pool_k, pool_v, pages):
+        c = self.cfg
+        residual = hidden_states
+        h = hidden_states
+        if c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+        h, new_state, pool_k, pool_v = self.self_attn.decode_paged(
+            h, state, pool_k, pool_v, pages
+        )
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+        residual = h
+        if c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        h = self.fc2(nn.relu(self.fc1(h)))
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        return h, new_state, pool_k, pool_v
 
 
 class _LayerScanBody(nn.Module):
@@ -558,16 +592,44 @@ class OptForCausalLM(nn.Module):
     def decode_step(self, token_ids: jnp.ndarray, position: jnp.ndarray, states):
         """One autoregressive step (reference §3.4 opt_generate path).
 
-        token_ids: (N, 1); position: () int32 (0-based); states: per-layer
+        token_ids: (N, 1); position: () int32 (0-based, all rows in
+        lockstep) or (N,) (per-slot, serving); states: per-layer
         SeaDecodeState list. Returns (logits (N, 1, V), new_states)."""
         h = self.model.embed_tokens(token_ids)
-        h = h + self.model.embed_positions(position[None, None] + 2)
+        h = h + self.model.embed_positions(self._decode_pos(position) + 2)
         new_states = []
         for layer, st in zip(self.model.layers, states):
             h, st2 = layer.decode(h, st)
             new_states.append(st2)
         h = self.model.finalize(h)
         return self.logits(h), new_states
+
+    @staticmethod
+    def _decode_pos(position):
+        position = jnp.asarray(position)
+        return position[None, None] if position.ndim == 0 else position[:, None]
+
+    def decode_step_paged(
+        self, token_ids, position, states, pool_k, pool_v, pages
+    ):
+        """One serving decode step over paged KV pools.
+
+        pool_k/pool_v: (L, P, page_size, H, D) — per-layer page pools;
+        pages: (N, max_pages) int32, shared by all layers (a page id
+        addresses the same slot range in every layer's pool). Returns
+        (logits, new_states, pool_k, pool_v)."""
+        h = self.model.embed_tokens(token_ids)
+        h = h + self.model.embed_positions(self._decode_pos(position) + 2)
+        new_states = []
+        for li, (layer, st) in enumerate(zip(self.model.layers, states)):
+            h, st2, new_pk, new_pv = layer.decode_paged(
+                h, st, pool_k[li], pool_v[li], pages
+            )
+            pool_k = pool_k.at[li].set(new_pk)
+            pool_v = pool_v.at[li].set(new_pv)
+            new_states.append(st2)
+        h = self.model.finalize(h)
+        return self.logits(h), new_states, pool_k, pool_v
 
     def generate_greedy(
         self,

@@ -100,7 +100,45 @@ def cnn_window_push(
 def cumavg_step(
     cum_sum: jnp.ndarray, cum_len: jnp.ndarray, v: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Running mean (reference StatefulCumAvg.__call__)."""
+    """Running mean (reference StatefulCumAvg.__call__).
+
+    `cum_len` may be () (all rows in lockstep) or (N,) (per-slot lengths in
+    the serving engine); it broadcasts against `cum_sum` (N, H, 1, D)."""
     s = cum_sum + v.astype(jnp.float32)
     n = cum_len + 1
-    return (s / n.astype(jnp.float32)).astype(v.dtype), s, n
+    n_b = n.astype(jnp.float32).reshape(n.shape + (1,) * (s.ndim - n.ndim))
+    return (s / n_b).astype(v.dtype), s, n
+
+
+def reset_state_rows(state: SeaDecodeState, rows: jnp.ndarray) -> SeaDecodeState:
+    """Zero the per-sequence rows selected by the bool mask `rows` (N,) —
+    used by the serving engine when a cache slot is recycled for a new
+    request. Scalar-shaped fields (lockstep decode) are left untouched;
+    per-slot fields ((N, ...) leading axis) are zeroed where rows is True."""
+    n = rows.shape[0]
+
+    def _reset(x):
+        if x.ndim >= 1 and x.shape[0] == n:
+            m = rows.reshape((n,) + (1,) * (x.ndim - 1))
+            return jnp.where(m, jnp.zeros_like(x), x)
+        return x
+
+    return SeaDecodeState(*(_reset(x) for x in state))
+
+
+def select_state_rows(
+    state_new: SeaDecodeState, state_old: SeaDecodeState, rows: jnp.ndarray
+) -> SeaDecodeState:
+    """Per-row select between two states: rows where `rows` (N,) is True
+    advance to `state_new`, others keep `state_old` — the serving engine
+    freezes slots that were not scheduled this step (stalled on a page
+    allocation, or idle)."""
+    n = rows.shape[0]
+
+    def _sel(a, b):
+        if a.ndim >= 1 and a.shape[0] == n:
+            m = rows.reshape((n,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+        return a
+
+    return SeaDecodeState(*(_sel(a, b) for a, b in zip(state_new, state_old)))

@@ -1,0 +1,313 @@
+"""Continuous-batching serving engine over a paged KV pool.
+
+The reference repo decodes through HF `generate` one batch at a time
+(`/root/reference/src/main/opt_generate.py`) — there is no serving system
+to port, so this subsystem is designed TPU-first from scratch:
+
+* **One jitted step, no prefill compile.** Every engine step feeds each
+  active slot exactly one token: its next *prompt* token while prefilling,
+  or its last *sampled* token once generating. Prompt processing is thereby
+  continuous-batched with decode for free, and the engine compiles a single
+  fixed-shape XLA program (max_slots lanes) that it reuses forever — the
+  TPU answer to vLLM-style inflight batching without a second "prefill"
+  executable. (SEA's decode state advances strictly token-by-token — the
+  CNN window push in `state.py:cnn_window_push` — so token-at-a-time
+  prefill is also the *exact* path, not an approximation.)
+* **Paged KV.** K/V live in per-layer page pools (L, P, page_size, H, D);
+  a sequence owns an ordered list of page ids (position-major, shared by
+  all layers). Slot recycling returns pages to a host-side free list —
+  many variable-length sequences share one fixed HBM footprint instead of
+  each reserving max_len. Page 0 is a reserved dummy: unallocated tail
+  pages and unscheduled slots point at it, and the length-derived row mask
+  (attention.py `_decode_common` stage 7) keeps it out of every softmax.
+* **Per-slot positions.** `SeaDecodeState.length` et al. are (N,)-shaped
+  here; `SeaAttention._decode_common` is uniformly per-row so slots at
+  different positions decode in one einsum. Slots that cannot be scheduled
+  (waiting on a free page) are frozen by `select_state_rows`.
+
+Scheduling policy: FCFS admission to free slots; a slot stalls (keeps its
+state, burns one lane) when the pool has no free page at a page boundary,
+and resumes as soon as another request completes. Sampling is greedy or
+temperature-categorical per slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.opt import OptForCausalLM
+from ..models.state import SeaDecodeState, reset_state_rows, select_state_rows
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request and its lifecycle bookkeeping."""
+
+    prompt: List[int]
+    max_new_tokens: int
+    temperature: float = 0.0
+    # --- engine-owned state ---
+    rid: int = -1
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    truncated: bool = False
+
+
+class PageAllocator:
+    """Host-side free-list over pool pages 1..num_pages-1 (0 is the dummy)."""
+
+    def __init__(self, num_pages: int):
+        self.free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self) -> Optional[int]:
+        return self.free.pop() if self.free else None
+
+    def release(self, pages: List[int]) -> None:
+        self.free.extend(p for p in pages if p > 0)
+
+    @property
+    def available(self) -> int:
+        return len(self.free)
+
+
+class ServingEngine:
+    """Continuous-batching generation over an OPT+SEA model.
+
+    Parameters
+    ----------
+    model, variables : the flax model and its params (method='perlin'
+        student or any config with use_cache=True).
+    max_slots : concurrent sequences decoded per step (the XLA batch lane).
+    page_size : tokens per KV page (multiples of 8 keep TPU tiling happy).
+    num_pages : pool pages per layer, *including* the reserved dummy page 0.
+        HBM cost = 2 pools * L * num_pages * page_size * H * D * 4 bytes.
+    max_pages_per_slot : page-table width => per-sequence capacity
+        max_pages_per_slot * page_size tokens.
+    """
+
+    def __init__(
+        self,
+        model: OptForCausalLM,
+        variables,
+        *,
+        max_slots: int = 4,
+        page_size: int = 16,
+        num_pages: int = 64,
+        max_pages_per_slot: int = 8,
+        eos_id: Optional[int] = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        cfg = model.cfg
+        assert not cfg.scan_layers, (
+            "serving drives per-layer decode; build the model with "
+            "scan_layers=False (decode graphs are small — scanning buys "
+            "nothing at T=1)"
+        )
+        self.model = model
+        self.variables = variables
+        self.max_slots = max_slots
+        self.page_size = page_size
+        self.max_pages = max_pages_per_slot
+        self.max_len = page_size * max_pages_per_slot
+        self.eos_id = eos_id
+        S = max_slots
+        L = cfg.num_layers
+        H, D = cfg.sea.num_heads, cfg.sea.head_dim
+
+        self.allocator = PageAllocator(num_pages)
+        self.pages_np = np.zeros((S, self.max_pages), np.int32)
+        self.pool_k = jnp.zeros((L, num_pages, page_size, H, D), dtype)
+        self.pool_v = jnp.zeros((L, num_pages, page_size, H, D), dtype)
+
+        # per-layer states with zero-width contiguous caches and (S,)-shaped
+        # per-slot counters
+        def _per_slot(st: SeaDecodeState) -> SeaDecodeState:
+            z = jnp.zeros((S,), jnp.int32)
+            return st._replace(length=z, cnn_filled=z, cumavg_len=z)
+
+        base = model.apply(
+            variables,
+            S,
+            0,
+            method=lambda m, b, ml: m.init_decode_states(b, ml, dtype),
+        )
+        self.states = [_per_slot(st) for st in base]
+
+        self.key = jax.random.key(seed)
+        self._rid = 0
+        self.queue: List[Request] = []
+        self.slots: List[Optional[Request]] = [None] * S
+        self.slot_pos = np.zeros(S, np.int64)  # tokens fed so far
+        self.slot_pages: List[List[int]] = [[] for _ in range(S)]
+        self.finished: Dict[int, Request] = {}
+
+        self._step_jit = jax.jit(self._device_step)
+        self._reset_jit = jax.jit(
+            lambda states, rows: [reset_state_rows(st, rows) for st in states]
+        )
+
+    # ------------------------------------------------------------------
+    def _device_step(
+        self, variables, states, pool_k, pool_v, tokens, positions, pages,
+        sched, temps, key,
+    ):
+        logits, new_states, pool_k, pool_v = self.model.apply(
+            variables,
+            tokens,
+            positions,
+            states,
+            pool_k,
+            pool_v,
+            pages,
+            method=lambda m, a, b, c, d, e, f: m.decode_step_paged(
+                a, b, c, d, e, f
+            ),
+        )
+        last = logits[:, 0].astype(jnp.float32)  # (S, V)
+        greedy = jnp.argmax(last, axis=-1)
+        sampled = jax.random.categorical(
+            key, last / jnp.maximum(temps, 1e-6)[:, None]
+        )
+        nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+        # freeze rows that were not scheduled this step
+        new_states = [
+            select_state_rows(ns, os_, sched)
+            for ns, os_ in zip(new_states, states)
+        ]
+        return nxt, new_states, pool_k, pool_v
+
+    # ------------------------------------------------------------------
+    def submit(
+        self,
+        prompt: List[int],
+        max_new_tokens: int = 16,
+        temperature: float = 0.0,
+    ) -> int:
+        assert len(prompt) >= 1, "empty prompt"
+        req = Request(list(prompt), max_new_tokens, temperature)
+        req.rid = self._rid
+        self._rid += 1
+        self.queue.append(req)
+        return req.rid
+
+    def _admit(self) -> None:
+        reset_rows = np.zeros(self.max_slots, bool)
+        admitted = False
+        for s in range(self.max_slots):
+            if not self.queue:
+                break
+            if self.slots[s] is not None:
+                continue
+            if self.allocator.available == 0:
+                break
+            self.slots[s] = self.queue.pop(0)
+            self.slot_pos[s] = 0
+            self.slot_pages[s] = []
+            self.pages_np[s] = 0
+            reset_rows[s] = True
+            admitted = True
+        if admitted:
+            self.states = self._reset_jit(self.states, jnp.asarray(reset_rows))
+
+    def _finish(self, s: int, truncated: bool = False) -> None:
+        req = self.slots[s]
+        req.done = True
+        req.truncated = truncated
+        self.finished[req.rid] = req
+        self.allocator.release(self.slot_pages[s])
+        self.slot_pages[s] = []
+        self.pages_np[s] = 0
+        self.slots[s] = None
+
+    # ------------------------------------------------------------------
+    def step(self) -> None:
+        """One engine iteration: admit, schedule, run the jitted step,
+        harvest sampled tokens, retire finished requests."""
+        self._admit()
+        S = self.max_slots
+        tokens = np.zeros((S, 1), np.int32)
+        positions = np.zeros(S, np.int32)
+        sched = np.zeros(S, bool)
+        temps = np.zeros(S, np.float32)
+        pages_dev = np.zeros_like(self.pages_np)
+
+        for s, req in enumerate(self.slots):
+            if req is None:
+                continue
+            pos = int(self.slot_pos[s])
+            if pos >= self.max_len:
+                self._finish(s, truncated=True)
+                continue
+            page_idx = pos // self.page_size
+            if page_idx >= len(self.slot_pages[s]):
+                pg = self.allocator.alloc()
+                if pg is None:
+                    continue  # stall: no page free — slot waits, state frozen
+                self.slot_pages[s].append(pg)
+                self.pages_np[s, page_idx] = pg
+            if pos < len(req.prompt):
+                tokens[s, 0] = req.prompt[pos]
+            else:
+                tokens[s, 0] = req.output[-1]
+            positions[s] = pos
+            sched[s] = True
+            temps[s] = req.temperature
+            pages_dev[s] = self.pages_np[s]
+
+        if not sched.any():
+            return
+        self.key, sub = jax.random.split(self.key)
+        nxt, self.states, self.pool_k, self.pool_v = self._step_jit(
+            self.variables,
+            self.states,
+            self.pool_k,
+            self.pool_v,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.asarray(pages_dev),
+            jnp.asarray(sched),
+            jnp.asarray(temps),
+            sub,
+        )
+        nxt = np.asarray(nxt)
+
+        for s, req in enumerate(self.slots):
+            if req is None or not sched[s]:
+                continue
+            pos = int(self.slot_pos[s])
+            self.slot_pos[s] = pos + 1
+            # the step that consumed the last prompt token emits the first
+            # generated token; earlier prefill logits are discarded
+            if pos >= len(req.prompt) - 1:
+                tok = int(nxt[s])
+                req.output.append(tok)
+                if (self.eos_id is not None and tok == self.eos_id) or len(
+                    req.output
+                ) >= req.max_new_tokens:
+                    self._finish(s)
+
+    # ------------------------------------------------------------------
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.slots)
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, Request]:
+        """Drive until all submitted requests finish (or max_steps)."""
+        steps = 0
+        while self.has_work and steps < max_steps:
+            before = self.has_work
+            self.step()
+            steps += 1
+            if before and not any(r is not None for r in self.slots) and (
+                self.queue and self.allocator.available == 0
+            ):
+                raise RuntimeError(
+                    "deadlock: queued requests but no pages free"
+                )
+        return dict(self.finished)
