@@ -192,15 +192,22 @@ def flat_csr_softmax(csr: UniformCsr) -> UniformCsr:
     vals = csr.values.astype(jnp.float32)
     head = csr.head_ids
     valid = csr.valid
-    out = jnp.zeros_like(vals)
-    for h in range(H):
-        m = valid & (head == h)
-        neg = jnp.float32(-jnp.inf)
-        seg_max = jnp.max(jnp.where(m, vals, neg), axis=-1, keepdims=True)
-        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-        e = jnp.where(m, jnp.exp(vals - seg_max), 0.0)
-        s = jnp.sum(e, axis=-1, keepdims=True)
-        out = out + jnp.where(m, e / jnp.maximum(s, 1e-30), 0.0)
+    N, T_DST, Z = vals.shape
+    # segment-reduce over the (row, head) segments in two scatters + two
+    # gathers (H-independent; a python loop over heads would emit H passes)
+    n_idx = jnp.broadcast_to(jnp.arange(N)[:, None, None], (N, T_DST, Z))
+    r_idx = jnp.broadcast_to(jnp.arange(T_DST)[None, :, None], (N, T_DST, Z))
+    masked = jnp.where(valid, vals, -jnp.inf)
+    seg_max = jnp.full((N, T_DST, H), -jnp.inf, jnp.float32)
+    seg_max = seg_max.at[n_idx, r_idx, head].max(masked)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    e = jnp.where(
+        valid, jnp.exp(vals - jnp.take_along_axis(seg_max, head, axis=-1)), 0.0
+    )
+    seg_sum = jnp.zeros((N, T_DST, H), jnp.float32)
+    seg_sum = seg_sum.at[n_idx, r_idx, head].add(e)
+    s = jnp.take_along_axis(seg_sum, head, axis=-1)
+    out = jnp.where(valid, e / jnp.maximum(s, 1e-30), 0.0)
     return csr.replace(values=out.astype(csr.values.dtype))
 
 
@@ -225,12 +232,13 @@ def flat_csr_sdbmm(csr: UniformCsr, v: jnp.ndarray) -> jnp.ndarray:
     v_g = _gather_nhsd(v, csr).astype(jnp.float32)  # (N, T_DST, Z, D)
     vals = (csr.values * csr.valid).astype(jnp.float32)
     head = csr.head_ids
-    outs = []
-    for h in range(H):
-        w = jnp.where(head == h, vals, 0.0)
-        outs.append(jnp.einsum("ntz,ntzd->ntd", w, v_g))
-    out = jnp.stack(outs, axis=1)  # (N, H, T_DST, D)
-    return out.astype(v.dtype)
+    _, T_DST, Z = vals.shape
+    # one scatter-add into (N, T_DST, H, D) replaces H masked einsum passes
+    n_idx = jnp.broadcast_to(jnp.arange(N)[:, None, None], (N, T_DST, Z))
+    r_idx = jnp.broadcast_to(jnp.arange(T_DST)[None, :, None], (N, T_DST, Z))
+    out = jnp.zeros((N, T_DST, H, D), jnp.float32)
+    out = out.at[n_idx, r_idx, head].add(vals[..., None] * v_g)
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(v.dtype)
 
 
 def flat_csr_to_dense(csr: UniformCsr) -> jnp.ndarray:
