@@ -31,6 +31,8 @@ def main():
     p.add_argument("--max-pages-per-slot", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=24)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--chunk", type=int, default=1,
+                   help="decode steps per host round trip (multi-step scheduling)")
     p.add_argument("--cpu", action="store_true", help="force local CPU")
     args = p.parse_args()
 
@@ -86,7 +88,7 @@ def main():
     while eng.has_work or pending:
         if pending and steps % 3 == 1:
             eng.submit(pending.pop(0), args.max_new_tokens, args.temperature)
-        eng.step()
+        eng.step(args.chunk)
         steps += 1
         if steps > 100_000:
             raise RuntimeError("runaway")
@@ -97,7 +99,7 @@ def main():
     out = eng.finished
     gen = sum(len(r.output) for r in out.values())
     fed = sum(len(r.prompt) for r in out.values()) + gen - len(out)
-    print(f"served {len(out)} requests in {steps} engine steps, {dt:.2f}s")
+    print(f"served {len(out)} requests in {steps} engine steps (chunk {args.chunk}), {dt:.2f}s")
     print(
         f"generated {gen} tokens ({gen / dt:.1f} tok/s), "
         f"processed {fed} ({fed / dt:.1f} tok/s incl. prefill)"

@@ -139,7 +139,8 @@ class ServingEngine:
         )
         self.states = [_per_slot(st) for st in base]
 
-        self.key = jax.random.key(seed)
+        self._base_key = jax.random.key(seed)
+        self._step_count = 0
         self._rid = 0
         self.queue: List[Request] = []
         self.slots: List[Optional[Request]] = [None] * S
@@ -147,40 +148,60 @@ class ServingEngine:
         self.slot_pages: List[List[int]] = [[] for _ in range(S)]
         self.finished: Dict[int, Request] = {}
 
-        self._step_jit = jax.jit(self._device_step)
+        self._chunk_jit = jax.jit(self._device_chunk)
         self._reset_jit = jax.jit(
             lambda states, rows: [reset_state_rows(st, rows) for st in states]
         )
 
     # ------------------------------------------------------------------
-    def _device_step(
-        self, variables, states, pool_k, pool_v, tokens, positions, pages,
-        sched, temps, key,
+    def _device_chunk(
+        self, variables, states, pool_k, pool_v, fed, use_fed, start_pos,
+        sched, pages, temps, step0,
     ):
-        logits, new_states, pool_k, pool_v = self.model.apply(
-            variables,
-            tokens,
-            positions,
-            states,
-            pool_k,
-            pool_v,
-            pages,
-            method=lambda m, a, b, c, d, e, f: m.decode_step_paged(
-                a, b, c, d, e, f
-            ),
+        """Run C = fed.shape[0] decode steps on device between host syncs
+        (multi-step scheduling): each inner step feeds either the next
+        prompt token (use_fed) or the previous step's sample, so prefill
+        streams through the same scan. One upload + one (C, S) token
+        download per chunk — the host control loop (or a slow relay) is
+        amortised over C tokens. Unscheduled slots are frozen row-wise and
+        their KV writes land on the dummy page."""
+
+        def body(carry, xs):
+            states, pool_k, pool_v, last = carry
+            fed_t, use_t, i = xs
+            tok = jnp.where(use_t, fed_t, last)[:, None]
+            logits, new_states, pool_k, pool_v = self.model.apply(
+                variables,
+                tok,
+                start_pos + i,
+                states,
+                pool_k,
+                pool_v,
+                pages,
+                method=lambda m, a, b, c, d, e, f: m.decode_step_paged(
+                    a, b, c, d, e, f
+                ),
+            )
+            last_logits = logits[:, 0].astype(jnp.float32)  # (S, V)
+            greedy = jnp.argmax(last_logits, axis=-1)
+            key = jax.random.fold_in(self._base_key, step0 + i)
+            sampled = jax.random.categorical(
+                key, last_logits / jnp.maximum(temps, 1e-6)[:, None]
+            )
+            nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+            new_states = [
+                select_state_rows(ns, os_, sched)
+                for ns, os_ in zip(new_states, states)
+            ]
+            return (new_states, pool_k, pool_v, nxt), nxt
+
+        C, S = fed.shape
+        (states, pool_k, pool_v, _), toks = jax.lax.scan(
+            body,
+            (states, pool_k, pool_v, jnp.zeros((S,), jnp.int32)),
+            (fed, use_fed, jnp.arange(C, dtype=jnp.int32)),
         )
-        last = logits[:, 0].astype(jnp.float32)  # (S, V)
-        greedy = jnp.argmax(last, axis=-1)
-        sampled = jax.random.categorical(
-            key, last / jnp.maximum(temps, 1e-6)[:, None]
-        )
-        nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
-        # freeze rows that were not scheduled this step
-        new_states = [
-            select_state_rows(ns, os_, sched)
-            for ns, os_ in zip(new_states, states)
-        ]
-        return nxt, new_states, pool_k, pool_v
+        return toks, states, pool_k, pool_v
 
     # ------------------------------------------------------------------
     def submit(
@@ -226,16 +247,23 @@ class ServingEngine:
         self.slots[s] = None
 
     # ------------------------------------------------------------------
-    def step(self) -> None:
-        """One engine iteration: admit, schedule, run the jitted step,
-        harvest sampled tokens, retire finished requests."""
+    def step(self, chunk: int = 1) -> None:
+        """One engine iteration = `chunk` decode steps on device between
+        host syncs: admit, pre-allocate each scheduled slot's pages for the
+        whole chunk, run the jitted scan, replay the (chunk, S) sampled
+        tokens on the host, retire finished requests.
+
+        Larger chunks amortise the host round trip (essential over a slow
+        control link) at the cost of coarser admission/EOS granularity —
+        a slot that hits EOS mid-chunk decodes garbage for the remainder,
+        which the replay discards."""
         self._admit()
-        S = self.max_slots
-        tokens = np.zeros((S, 1), np.int32)
-        positions = np.zeros(S, np.int32)
+        S, C = self.max_slots, chunk
+        fed = np.zeros((C, S), np.int32)
+        use_fed = np.zeros((C, S), bool)
+        start_pos = np.zeros(S, np.int32)
         sched = np.zeros(S, bool)
         temps = np.zeros(S, np.float32)
-        pages_dev = np.zeros_like(self.pages_np)
 
         for s, req in enumerate(self.slots):
             if req is None:
@@ -244,65 +272,92 @@ class ServingEngine:
             if pos >= self.max_len:
                 self._finish(s, truncated=True)
                 continue
-            page_idx = pos // self.page_size
-            if page_idx >= len(self.slot_pages[s]):
+            # pages covering [pos, min(pos+C, max_len)) must exist up front
+            last_needed = (min(pos + C, self.max_len) - 1) // self.page_size
+            ok = True
+            while len(self.slot_pages[s]) <= last_needed:
                 pg = self.allocator.alloc()
                 if pg is None:
-                    continue  # stall: no page free — slot waits, state frozen
+                    ok = False  # stall the whole chunk; state stays frozen
+                    break
+                idx = len(self.slot_pages[s])
                 self.slot_pages[s].append(pg)
-                self.pages_np[s, page_idx] = pg
-            if pos < len(req.prompt):
-                tokens[s, 0] = req.prompt[pos]
-            else:
-                tokens[s, 0] = req.output[-1]
-            positions[s] = pos
+                self.pages_np[s, idx] = pg
+            if not ok:
+                continue
+            start_pos[s] = pos
             sched[s] = True
             temps[s] = req.temperature
-            pages_dev[s] = self.pages_np[s]
+            for i in range(C):
+                p = pos + i
+                if p < len(req.prompt):
+                    fed[i, s] = req.prompt[p]
+                    use_fed[i, s] = True
+                elif i == 0:
+                    # chunk opens mid-decode: the scan's sample carry is
+                    # empty, feed the last token sampled in the prior chunk
+                    fed[0, s] = req.output[-1]
+                    use_fed[0, s] = True
 
         if not sched.any():
             return
-        self.key, sub = jax.random.split(self.key)
-        nxt, self.states, self.pool_k, self.pool_v = self._step_jit(
+        # dummy tail column: chunk positions past capacity (or any clamped
+        # page index) land on reserved page 0 instead of real data
+        pages_t = np.concatenate(
+            [self.pages_np, np.zeros((S, 1), np.int32)], axis=1
+        )
+        toks, self.states, self.pool_k, self.pool_v = self._chunk_jit(
             self.variables,
             self.states,
             self.pool_k,
             self.pool_v,
-            jnp.asarray(tokens),
-            jnp.asarray(positions),
-            jnp.asarray(pages_dev),
+            jnp.asarray(fed),
+            jnp.asarray(use_fed),
+            jnp.asarray(start_pos),
             jnp.asarray(sched),
+            jnp.asarray(pages_t),
             jnp.asarray(temps),
-            sub,
+            jnp.int32(self._step_count),
         )
-        nxt = np.asarray(nxt)
+        self._step_count += C
+        toks = np.asarray(toks)  # (C, S)
 
-        for s, req in enumerate(self.slots):
+        for s in range(S):
+            req = self.slots[s]
             if req is None or not sched[s]:
                 continue
-            pos = int(self.slot_pos[s])
-            self.slot_pos[s] = pos + 1
-            # the step that consumed the last prompt token emits the first
-            # generated token; earlier prefill logits are discarded
-            if pos >= len(req.prompt) - 1:
-                tok = int(nxt[s])
-                req.output.append(tok)
-                if (self.eos_id is not None and tok == self.eos_id) or len(
-                    req.output
-                ) >= req.max_new_tokens:
-                    self._finish(s)
+            finished = False
+            for i in range(C):
+                pos = int(start_pos[s]) + i
+                # the step that consumed the last prompt token emits the
+                # first generated token; earlier prefill logits discarded
+                if pos >= len(req.prompt) - 1:
+                    tok = int(toks[i, s])
+                    req.output.append(tok)
+                    if (
+                        self.eos_id is not None and tok == self.eos_id
+                    ) or len(req.output) >= req.max_new_tokens:
+                        self._finish(s)
+                        finished = True
+                        break
+                if pos + 1 >= self.max_len:
+                    self._finish(s, truncated=True)
+                    finished = True
+                    break
+            if not finished:
+                self.slot_pos[s] = int(start_pos[s]) + C
 
     # ------------------------------------------------------------------
     @property
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
-    def run(self, max_steps: int = 10_000) -> Dict[int, Request]:
+    def run(self, max_steps: int = 10_000, chunk: int = 1) -> Dict[int, Request]:
         """Drive until all submitted requests finish (or max_steps)."""
         steps = 0
         while self.has_work and steps < max_steps:
             before = self.has_work
-            self.step()
+            self.step(chunk)
             steps += 1
             if before and not any(r is not None for r in self.slots) and (
                 self.queue and self.allocator.available == 0

@@ -160,6 +160,72 @@ def test_engine_eos_and_temperature():
     assert all(0 <= t < cfg.vocab_size for t in out[rid_t].output)
 
 
+def test_chunked_equals_stepwise():
+    """chunk=4 multi-step scheduling produces the same greedy outputs as
+    chunk=1 (and thus as solo generate_greedy), including mid-chunk EOS
+    and prompt->decode transitions inside a chunk."""
+    cfg, model, variables, _ = _tiny_model(seed=21)
+    rng = np.random.default_rng(2)
+    prompts = [
+        rng.integers(4, cfg.vocab_size, size=p).tolist() for p in (3, 7, 5)
+    ]
+
+    def run_with(chunk):
+        eng = ServingEngine(
+            model, variables, max_slots=2, page_size=4, num_pages=32,
+            max_pages_per_slot=8,
+        )
+        rids = [eng.submit(p, 6) for p in prompts]
+        out = eng.run(chunk=chunk)
+        return [out[r].output for r in rids]
+
+    assert run_with(1) == run_with(4)
+
+    # EOS inside a chunk stops at the right token
+    solo = run_with(1)[0]
+    eos = solo[1]
+    eng = ServingEngine(
+        model, variables, max_slots=1, page_size=4, num_pages=32,
+        max_pages_per_slot=8, eos_id=eos,
+    )
+    rid = eng.submit(prompts[0], 6)
+    out = eng.run(chunk=4)
+    assert out[rid].output == solo[: solo.index(eos) + 1]
+
+
+def test_chunked_stall_and_truncation():
+    """Whole-chunk stalls on page exhaustion and capacity truncation under
+    chunking preserve outputs and page accounting."""
+    cfg, model, variables, _ = _tiny_model(seed=23)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(4, cfg.vocab_size, size=4).tolist() for _ in range(3)]
+
+    eng = ServingEngine(
+        model, variables, max_slots=2, page_size=4, num_pages=6,
+        max_pages_per_slot=3,
+    )
+    rids = [eng.submit(p, 5) for p in prompts]
+    out = eng.run(max_steps=500, chunk=3)
+    assert sorted(out) == sorted(rids)
+    assert eng.allocator.available == 5
+    for rid, p in zip(rids, prompts):
+        ids = jnp.asarray([p], jnp.int32)
+        toks = model.apply(
+            variables, ids, 16, 5,
+            method=lambda m, a, b, c: m.generate_greedy(a, b, c),
+        )
+        assert out[rid].output == np.asarray(toks)[0].tolist()
+
+    # truncation: capacity 8, prompt 4 -> 5 tokens, independent of chunking
+    eng = ServingEngine(
+        model, variables, max_slots=1, page_size=4, num_pages=8,
+        max_pages_per_slot=2,
+    )
+    rid = eng.submit([3, 4, 5, 6], 32)
+    out = eng.run(max_steps=100, chunk=4)
+    assert out[rid].truncated and len(out[rid].output) == 5
+
+
 def test_page_allocator():
     a = PageAllocator(5)  # pages 1..4 usable
     got = [a.alloc() for _ in range(4)]
