@@ -88,6 +88,11 @@ class ServingEngine:
         HBM cost = 2 pools * L * num_pages * page_size * H * D * 4 bytes.
     max_pages_per_slot : page-table width => per-sequence capacity
         max_pages_per_slot * page_size tokens.
+    mesh / head_axis : optional multi-chip serving — KV pools and decode
+        states are sharded over the head dimension of `mesh`'s `head_axis`
+        (tensor-parallel style: per-head row attention is communication-
+        free; GSPMD inserts the psum at the output projection). num_heads
+        must be divisible by the axis size.
     """
 
     def __init__(
@@ -102,6 +107,8 @@ class ServingEngine:
         eos_id: Optional[int] = None,
         seed: int = 0,
         dtype=jnp.float32,
+        mesh=None,
+        head_axis: str = "tp",
     ):
         cfg = model.cfg
         assert not cfg.scan_layers, (
@@ -138,6 +145,29 @@ class ServingEngine:
             method=lambda m, b, ml: m.init_decode_states(b, ml, dtype),
         )
         self.states = [_per_slot(st) for st in base]
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = head_axis
+            assert H % mesh.shape[axis] == 0, (H, dict(mesh.shape))
+            ns = lambda *spec: NamedSharding(mesh, P(*spec))
+            # pools: (L, P, ps, H, D) — heads across the axis
+            self.pool_k = jax.device_put(self.pool_k, ns(None, None, None, axis))
+            self.pool_v = jax.device_put(self.pool_v, ns(None, None, None, axis))
+
+            def _shard_state(st: SeaDecodeState) -> SeaDecodeState:
+                return st._replace(
+                    performer_S=jax.device_put(st.performer_S, ns(None, axis)),
+                    performer_z=jax.device_put(st.performer_z, ns(None, axis)),
+                    # cnn channels are head-major (splits*H): shard by head
+                    cnn_window=jax.device_put(st.cnn_window, ns(None, axis)),
+                    cumavg_sum=jax.device_put(st.cumavg_sum, ns(None, axis)),
+                    k_cache=jax.device_put(st.k_cache, ns(None, axis)),
+                    v_cache=jax.device_put(st.v_cache, ns(None, axis)),
+                )
+
+            self.states = [_shard_state(st) for st in self.states]
 
         self._base_key = jax.random.key(seed)
         self._step_count = 0

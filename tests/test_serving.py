@@ -226,6 +226,32 @@ def test_chunked_stall_and_truncation():
     assert out[rid].truncated and len(out[rid].output) == 5
 
 
+def test_sharded_engine_matches_unsharded():
+    """Multi-chip serving: pools/states sharded over heads (tp) produce
+    the same tokens as the single-device engine (GSPMD partitioning of
+    the chunked step)."""
+    from jax.sharding import Mesh
+
+    cfg, model, variables, _ = _tiny_model(seed=31)
+    rng = np.random.default_rng(4)
+    prompts = [
+        rng.integers(4, cfg.vocab_size, size=p).tolist() for p in (3, 6)
+    ]
+
+    def run(mesh):
+        eng = ServingEngine(
+            model, variables, max_slots=2, page_size=4, num_pages=32,
+            max_pages_per_slot=8, mesh=mesh,
+        )
+        rids = [eng.submit(p, 5) for p in prompts]
+        out = eng.run(chunk=3)
+        return [out[r].output for r in rids]
+
+    want = run(None)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    assert run(mesh) == want
+
+
 def test_page_allocator():
     a = PageAllocator(5)  # pages 1..4 usable
     got = [a.alloc() for _ in range(4)]
