@@ -62,11 +62,14 @@ def main():
 
         return jax.jit(wrapped)
 
-    def timeit(fn, *args):
-        np.asarray(fn(*args)[0, 0, 0, 0])
-        t0 = time.perf_counter()
-        np.asarray(fn(*args)[0, 0, 0, 0])
-        return time.perf_counter() - t0
+    def timeit(fn, *args, reps=3):
+        np.asarray(fn(*args)[0, 0, 0, 0])  # warmup/compile
+        best = float("inf")
+        for _ in range(reps):  # min-of-reps beats relay jitter
+            t0 = time.perf_counter()
+            np.asarray(fn(*args)[0, 0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     noop = repeat(lambda q, *a: q)
     t0 = timeit(noop, q)

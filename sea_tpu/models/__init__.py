@@ -11,9 +11,23 @@ from .opt import (
     stack_layer_params,
     unstack_layer_params,
 )
+from .llama import (
+    LlamaConfig,
+    LlamaForCausalLM,
+    LlamaModel,
+    llama_7b,
+    llama_13b,
+    llama_tiny,
+)
 from .state import SeaDecodeState, init_decode_state
 
 __all__ = [
+    "LlamaConfig",
+    "LlamaForCausalLM",
+    "LlamaModel",
+    "llama_7b",
+    "llama_13b",
+    "llama_tiny",
     "SeaAttention",
     "SeaAttentionOutput",
     "BertConfig",

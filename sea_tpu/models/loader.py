@@ -113,6 +113,54 @@ def load_opt_params(model_name_or_path: str, cfg: OptConfig, allow_download=Fals
     return opt_params_from_state_dict(sd, cfg)
 
 
+def llama_params_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Map a HF LLaMA state dict (meta-llama/transformers key layout:
+    `model.layers.N.self_attn.q_proj.weight`, `.mlp.gate_proj.weight`,
+    `.input_layernorm.weight`, `model.norm.weight`, `lm_head.weight`)
+    onto our flax tree. LLaMA linears carry no bias."""
+
+    def g(key):
+        for prefix in ("model.", ""):
+            k = prefix + key
+            if k in sd:
+                return np.asarray(sd[k])
+        raise KeyError(key)
+
+    def dense(key):
+        return {"kernel": jnp.asarray(g(key + ".weight").T)}
+
+    def rms(key):
+        return {"scale": jnp.asarray(g(key + ".weight"))}
+
+    tree: Dict[str, Any] = {
+        "embed_tokens": {"embedding": jnp.asarray(g("embed_tokens.weight"))},
+        "norm": rms("norm"),
+    }
+    for i in range(cfg.num_layers):
+        L = f"layers.{i}."
+        tree[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": dense(L + "self_attn.q_proj"),
+                "k_proj": dense(L + "self_attn.k_proj"),
+                "v_proj": dense(L + "self_attn.v_proj"),
+                "o_proj": dense(L + "self_attn.o_proj"),
+            },
+            "input_layernorm": rms(L + "input_layernorm"),
+            "post_attention_layernorm": rms(L + "post_attention_layernorm"),
+            "mlp": {
+                "gate_proj": dense(L + "mlp.gate_proj"),
+                "up_proj": dense(L + "mlp.up_proj"),
+                "down_proj": dense(L + "mlp.down_proj"),
+            },
+        }
+    return {"model": tree, "lm_head": dense("lm_head")}
+
+
+def load_llama_params(model_name_or_path: str, cfg, allow_download=False):
+    sd = _load_state_dict(model_name_or_path, allow_download)
+    return llama_params_from_state_dict(sd, cfg)
+
+
 def student_from_teacher(student_variables, teacher_params):
     """Overwrite every student param that exists in the teacher tree; keep
     the rest (the 'perlin' estimator) at fresh init — the reference's

@@ -97,7 +97,8 @@ class ServingEngine:
 
     def __init__(
         self,
-        model: OptForCausalLM,
+        model: OptForCausalLM,  # or any model with init_decode_states /
+        # decode_step_paged (LlamaForCausalLM works unchanged)
         variables,
         *,
         max_slots: int = 4,

@@ -32,6 +32,30 @@ from ..models.opt import (
 )
 
 
+def causal_lm_for(cfg):
+    """Build the ForCausalLM module matching a model-family config. The KD
+    wrappers below are family-agnostic: they only use `model.embed` (whose
+    second return — the causal mask, or LLaMA's (mask, cos, sin) position
+    bundle — is threaded opaquely), `model.layers[i]`, `model.finalize`,
+    and `logits`."""
+    if isinstance(cfg, OptConfig):
+        return OptForCausalLM(cfg)
+    from ..models.llama import LlamaConfig, LlamaForCausalLM
+
+    assert isinstance(cfg, LlamaConfig), type(cfg)
+    return LlamaForCausalLM(cfg)
+
+
+def decoder_layer_for(cfg):
+    if isinstance(cfg, OptConfig):
+        from ..models.opt import OptDecoderLayer
+
+        return OptDecoderLayer
+    from ..models.llama import LlamaDecoderLayer
+
+    return LlamaDecoderLayer
+
+
 class _KDPairScanBody(nn.Module):
     """Scan body running (teacher layer i, student layer i) as one step —
     stacked-parameter lax.scan over the pair, so the KD train step compiles
@@ -42,15 +66,13 @@ class _KDPairScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, carry, causal_mask):
-        from ..models.opt import OptDecoderLayer
-
         h_t, h_s = carry
-        h_t2, _, cap = OptDecoderLayer(self.t_cfg, name="teacher")(
+        h_t2, _, cap = decoder_layer_for(self.t_cfg)(self.t_cfg, name="teacher")(
             h_t, causal_mask
         )
         h_t2 = jax.lax.stop_gradient(h_t2)
         cap = jax.tree_util.tree_map(jax.lax.stop_gradient, cap)
-        h_s2, aux, _ = OptDecoderLayer(self.s_cfg, name="student")(
+        h_s2, aux, _ = decoder_layer_for(self.s_cfg)(self.s_cfg, name="student")(
             h_s, causal_mask, cap, training=True
         )
         mse = jnp.mean(
@@ -74,16 +96,14 @@ class SeaOptKDScan:
     def __init__(self, teacher_cfg: OptConfig, student_cfg: OptConfig):
         import dataclasses
 
-        from ..models.opt import OptForCausalLM
-
         assert teacher_cfg.attention_method == "none"
         self.t_cfg = teacher_cfg
         self.s_cfg = student_cfg
         self.n_layers = teacher_cfg.num_layers
         t_shell = dataclasses.replace(teacher_cfg, external_layers=True)
         s_shell = dataclasses.replace(student_cfg, external_layers=True)
-        self.teacher_shell = OptForCausalLM(t_shell)
-        self.student_shell = OptForCausalLM(s_shell)
+        self.teacher_shell = causal_lm_for(t_shell)
+        self.student_shell = causal_lm_for(s_shell)
         self.pair_scan = nn.scan(
             nn.remat(_KDPairScanBody, prevent_cse=False),
             variable_axes={"params": 0, "performer": 0},
@@ -98,12 +118,15 @@ class SeaOptKDScan:
         student variable trees."""
 
         def split(tree):
+            # keep non-"model" siblings (e.g. LLaMA's untied lm_head) in
+            # the shell
+            rest = {k: v for k, v in tree.items() if k != "model"}
             model = dict(tree["model"])
             layers = [model.pop(f"layers_{i}") for i in range(num_layers)]
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs, axis=0), *layers
             )
-            return {"model": model}, stacked
+            return {**rest, "model": model}, stacked
 
         out = {}
         for coll in set(t_vars) | set(s_vars):
@@ -132,7 +155,8 @@ class SeaOptKDScan:
         for coll, v in combined.items():
             if not isinstance(v, dict):
                 continue
-            model = dict(v.get("student", {}).get("model", {}))
+            shell = dict(v.get("student", {}))
+            model = dict(shell.pop("model", {}))
             stacked = v.get("pairs", {}).get("student")
             if stacked is not None:
                 for i in range(num_layers):
@@ -140,7 +164,7 @@ class SeaOptKDScan:
                         lambda x, _i=i: x[_i], stacked
                     )
             if model:
-                out[coll] = {"model": model}
+                out[coll] = {**shell, "model": model}
         return out
 
     def kd_loss(
@@ -295,8 +319,8 @@ class SeaOptKD:
 
     def __init__(self, teacher_cfg: OptConfig, student_cfg: OptConfig):
         assert teacher_cfg.attention_method == "none"
-        self.teacher = OptForCausalLM(teacher_cfg)
-        self.student = OptForCausalLM(student_cfg)
+        self.teacher = causal_lm_for(teacher_cfg)
+        self.student = causal_lm_for(student_cfg)
         self.n_layers = teacher_cfg.num_layers
         assert teacher_cfg.num_layers == student_cfg.num_layers
 

@@ -33,7 +33,9 @@ from .optimizer import make_optimizer
 
 @dataclasses.dataclass
 class TrainerConfig:
-    model: str = "opt-125m"  # 'tiny' | 'opt-125m' | 'opt-350m' | 'opt-1.3b' | 'opt-2.7b'
+    # 'tiny' | 'opt-125m' | 'opt-350m' | 'opt-1.3b' | 'opt-2.7b'
+    # | 'llama-tiny' | 'llama-7b' | 'llama-13b' (the headline SEA-13B family)
+    model: str = "opt-125m"
     # student attention method (reference --method): 'perlin' or one of the
     # causal baselines 'performer' | 'reformer' | 'sinkhorn' | 'cosformer'
     method: str = "perlin"
@@ -103,9 +105,15 @@ def tiny_configs(method: str = "perlin") -> Tuple[OptConfig, OptConfig]:
 def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
     if cfg.model == "tiny":
         return tiny_configs(cfg.method)
+    if cfg.model == "llama-tiny":
+        from ..models.llama import llama_tiny
+
+        return llama_tiny("none"), llama_tiny(cfg.method)
     # head geometry must match the model family
-    heads = {"opt-125m": 12, "opt-350m": 16, "opt-1.3b": 32, "opt-2.7b": 32}[cfg.model]
-    head_dim = {"opt-125m": 64, "opt-350m": 64, "opt-1.3b": 64, "opt-2.7b": 80}[cfg.model]
+    heads = {"opt-125m": 12, "opt-350m": 16, "opt-1.3b": 32, "opt-2.7b": 32,
+             "llama-7b": 32, "llama-13b": 40}[cfg.model]
+    head_dim = {"opt-125m": 64, "opt-350m": 64, "opt-1.3b": 64, "opt-2.7b": 80,
+                "llama-7b": 128, "llama-13b": 128}[cfg.model]
     sea = opt_config(
         num_heads=heads,
         head_dim=head_dim,
@@ -113,8 +121,11 @@ def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
         predictor_length=cfg.predictor_length,
         performer_nb_factor=cfg.nb_factor,
     )
+    from ..models.llama import llama_7b, llama_13b
+
     builder = {"opt-125m": opt_125m, "opt-350m": opt_350m,
-               "opt-1.3b": opt_1_3b, "opt-2.7b": opt_2_7b}[cfg.model]
+               "opt-1.3b": opt_1_3b, "opt-2.7b": opt_2_7b,
+               "llama-7b": llama_7b, "llama-13b": llama_13b}[cfg.model]
     return builder("none", sea), builder(cfg.method, sea)
 
 
@@ -132,7 +143,15 @@ class OptTrainer:
         s_vars = self.kd.student.init(jax.random.key(1), ids, mask)
 
         if cfg.teacher_checkpoint:
-            teacher_params = load_opt_params(cfg.teacher_checkpoint, self.t_cfg)
+            from ..models.llama import LlamaConfig
+            from ..models.loader import load_llama_params
+
+            load_fn = (
+                load_llama_params
+                if isinstance(self.t_cfg, LlamaConfig)
+                else load_opt_params
+            )
+            teacher_params = load_fn(cfg.teacher_checkpoint, self.t_cfg)
             self.t_vars = {**self.t_vars, "params": teacher_params["params"]
                            if "params" in teacher_params else teacher_params}
         self.corpus = get_corpus(
