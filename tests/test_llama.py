@@ -270,6 +270,41 @@ def test_llama_generate_greedy_runs():
     assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
 
 
+@pytest.mark.parametrize("builder_name", ["llama_7b", "llama_13b"])
+def test_large_llama_kd_graph_builds(builder_name):
+    """llama-7b/13b geometry traces at full size (eval_shape: no
+    FLOPs/memory) and lands at the family's parameter count; the KD loss
+    graph traces too."""
+    import sea_tpu.models.llama as llama_mod
+
+    builder = getattr(llama_mod, builder_name)
+    t_cfg = builder("none")
+    s_cfg = builder("perlin")
+    N, T = 1, 256
+    ids = jnp.ones((N, T), jnp.int32)
+    mask = jnp.ones((N, T), jnp.int32)
+
+    t_shapes = jax.eval_shape(
+        lambda: LlamaForCausalLM(t_cfg).init(jax.random.key(0), ids, mask)
+    )
+    n_params = sum(
+        int(np.prod(s.shape))
+        for s in jax.tree_util.tree_leaves(t_shapes["params"])
+    )
+    want = {"llama_7b": 6.7e9, "llama_13b": 13.0e9}[builder_name]
+    assert want * 0.85 < n_params < want * 1.25, n_params
+
+    kd = SeaOptKD(t_cfg, s_cfg)
+    t_v = jax.eval_shape(lambda: kd.teacher.init(jax.random.key(0), ids, mask))
+    s_v = jax.eval_shape(lambda: kd.student.init(jax.random.key(1), ids, mask))
+    out = jax.eval_shape(
+        lambda tv, sv: kd.kd_loss(tv, sv, ids, mask, ids, use_remat=True)[0],
+        t_v,
+        s_v,
+    )
+    assert out.shape == ()
+
+
 # -------------------------------------------------------------- serving
 
 def test_llama_serving_engine_matches_greedy():
