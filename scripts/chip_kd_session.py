@@ -23,6 +23,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--seq-len", type=int, default=512)
     p.add_argument("--save-dir", default="./saves/chip_kd_r2")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=[None, "bfloat16", "float32"])
     args = p.parse_args()
 
     from sea_tpu.training.opt_trainer import OptTrainer, TrainerConfig
@@ -39,6 +41,7 @@ def main():
         scan_kd=True,
         pretrain_teacher_steps=args.pretrain_teacher,
         save_dir=args.save_dir,
+        compute_dtype=args.compute_dtype,
     )
     t0 = time.time()
     tr = OptTrainer(cfg)

@@ -914,7 +914,17 @@ class SeaAttention(nn.Module):
         t % page_size) in the pool; unallocated tail pages may point at a
         dummy page — they are masked by the length-derived row mask. The
         attention math is identical to `decode`; only the cache layout
-        differs. Returns (out, new_state, pool_k, pool_v)."""
+        differs. Returns (out, new_state, pool_k, pool_v).
+
+        Quantized pools: pool_k/pool_v may each be an (int8 data, f32
+        per-(token, head) scale) tuple (`state.quantize_kv` layout). New
+        K/V are quantized on write and page gathers dequantized on read;
+        everything else is unchanged, and the same tuple structure is
+        returned."""
+        quant = isinstance(pool_k, tuple)
+        if quant:
+            pool_k, pool_k_scale = pool_k
+            pool_v, pool_v_scale = pool_v
         common = self._decode_common(
             q, k, v, state, max_len=pages.shape[1] * pool_k.shape[1]
         )
@@ -928,13 +938,25 @@ class SeaAttention(nn.Module):
             pages, (pos_b // page_size)[:, None], axis=1
         )[:, 0]
         offsets = pos_b % page_size
-        pool_k = pool_k.at[page_ids, offsets].set(k[:, :, 0, :])
-        pool_v = pool_v.at[page_ids, offsets].set(v[:, :, 0, :])
+        if quant:
+            qk, sk = quantize_kv(k[:, :, 0, :])
+            qv, sv = quantize_kv(v[:, :, 0, :])
+            pool_k = pool_k.at[page_ids, offsets].set(qk)
+            pool_v = pool_v.at[page_ids, offsets].set(qv)
+            pool_k_scale = pool_k_scale.at[page_ids, offsets].set(sk)
+            pool_v_scale = pool_v_scale.at[page_ids, offsets].set(sv)
+        else:
+            pool_k = pool_k.at[page_ids, offsets].set(k[:, :, 0, :])
+            pool_v = pool_v.at[page_ids, offsets].set(v[:, :, 0, :])
 
         # gather this row's pages and attend (position-major layout makes the
         # flattened axis identical to a contiguous cache of width mp*ps)
-        k_pages = pool_k[pages]  # (N, mp, ps, H, D)
-        v_pages = pool_v[pages]
+        if quant:
+            k_pages = dequantize_kv(pool_k[pages], pool_k_scale[pages], q.dtype)
+            v_pages = dequantize_kv(pool_v[pages], pool_v_scale[pages], q.dtype)
+        else:
+            k_pages = pool_k[pages]  # (N, mp, ps, H, D)
+            v_pages = pool_v[pages]
         scores = jnp.einsum("nhtd,npshd->nhtps", q, k_pages).reshape(
             N, H, 1, mp * page_size
         )
@@ -953,6 +975,13 @@ class SeaAttention(nn.Module):
             v_cache=state.v_cache,
             length=state.length + 1,
         )
+        if quant:
+            return (
+                out,
+                new_state,
+                (pool_k, pool_k_scale),
+                (pool_v, pool_v_scale),
+            )
         return out, new_state, pool_k, pool_v
 
     def _decode_common(self, q, k, v, state, max_len: Optional[int] = None):

@@ -92,6 +92,10 @@ def build_parser():
     parser.add_argument("--save-root", default="./saves", type=str)
     parser.add_argument("--data-parallel", action="store_true", default=False)
     parser.add_argument("--scan-kd", action="store_true", default=False)
+    # AMP analogue (reference opt_trainer.py:244-263 GradScaler): bf16
+    # activations/matmuls, f32 params/optimizer. None = family default.
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=[None, "bfloat16", "float32"])
     add_perlin_model_options(parser)
     return parser
 
@@ -112,6 +116,7 @@ def build_trainer(args):
             save_dir=os.path.join(args.save_root, exp),
             scan_kd=args.scan_kd,
             data_parallel=args.data_parallel,
+            compute_dtype=args.compute_dtype,
         )
         if args.num_steps is not None:
             kw["num_steps"] = args.num_steps

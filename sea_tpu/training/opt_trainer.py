@@ -76,6 +76,12 @@ class TrainerConfig:
     # train on the task loss alone, dropping every KD term (reference
     # IGNORE_KD_LOSS env, opt_trainer.py:177-181)
     ignore_kd_loss: bool = False
+    # override the model family's compute dtype ('bfloat16'|'float32').
+    # None keeps the builder default (bf16 for 1.3b+, f32 below). The TPU
+    # analogue of the reference's AMP/GradScaler (opt_trainer.py:244-263):
+    # bf16 activations/matmuls with f32 params, optimizer state and loss
+    # islands — no loss scaling needed (bf16 keeps f32's exponent range).
+    compute_dtype: Optional[str] = None
 
 
 def _dealias(tree):
@@ -103,12 +109,19 @@ def tiny_configs(method: str = "perlin") -> Tuple[OptConfig, OptConfig]:
 
 
 def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
+    def _dtype(pair):
+        if cfg.compute_dtype is None:
+            return pair
+        return tuple(
+            dataclasses.replace(c, compute_dtype=cfg.compute_dtype) for c in pair
+        )
+
     if cfg.model == "tiny":
-        return tiny_configs(cfg.method)
+        return _dtype(tiny_configs(cfg.method))
     if cfg.model == "llama-tiny":
         from ..models.llama import llama_tiny
 
-        return llama_tiny("none"), llama_tiny(cfg.method)
+        return _dtype((llama_tiny("none"), llama_tiny(cfg.method)))
     # head geometry must match the model family
     heads = {"opt-125m": 12, "opt-350m": 16, "opt-1.3b": 32, "opt-2.7b": 32,
              "llama-7b": 32, "llama-13b": 40}[cfg.model]
@@ -126,7 +139,7 @@ def model_configs(cfg: TrainerConfig) -> Tuple[OptConfig, OptConfig]:
     builder = {"opt-125m": opt_125m, "opt-350m": opt_350m,
                "opt-1.3b": opt_1_3b, "opt-2.7b": opt_2_7b,
                "llama-7b": llama_7b, "llama-13b": llama_13b}[cfg.model]
-    return builder("none", sea), builder(cfg.method, sea)
+    return _dtype((builder("none", sea), builder(cfg.method, sea)))
 
 
 class OptTrainer:

@@ -347,3 +347,24 @@ def test_opt_trainer_baseline_student_method(tmp_path):
     assert tr.s_cfg.attention_method == "cosformer"
     tr.train()
     assert np.isfinite(tr.evaluate(max_batches=2))
+
+
+def test_opt_trainer_bf16_compute(tmp_path):
+    """compute_dtype='bfloat16' (the AMP analogue) trains with f32 params
+    and finite loss; the knob overrides the model-family default."""
+    import jax.numpy as jnp
+    from sea_tpu.training.opt_trainer import OptTrainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        model="tiny", max_seq_len=64, stride=32, batch_size=2,
+        gradient_accumulation_steps=1, num_steps=2, eval_steps=100,
+        log_steps=100, save_dir=str(tmp_path), compute_dtype="bfloat16",
+    )
+    tr = OptTrainer(cfg)
+    assert tr.s_cfg.compute_dtype == "bfloat16"
+    assert tr.t_cfg.compute_dtype == "bfloat16"
+    # master params stay f32 (mixed precision, not low-precision training)
+    leaves = jax.tree_util.tree_leaves(tr.s_params)
+    assert all(l.dtype == jnp.float32 for l in leaves if hasattr(l, "dtype"))
+    tr.train()
+    assert np.isfinite(tr.evaluate(max_batches=2))
