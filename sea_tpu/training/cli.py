@@ -96,6 +96,14 @@ def build_parser():
     # activations/matmuls, f32 params/optimizer. None = family default.
     parser.add_argument("--compute-dtype", default=None,
                         choices=[None, "bfloat16", "float32"])
+    # failure detection / elastic recovery (training/resilience.py):
+    # keep N rotating step-tagged checkpoints, auto-resume the newest
+    # intact one, and retry after divergence/device failure
+    parser.add_argument("--checkpoint-rotation", default=0, type=int)
+    parser.add_argument("--supervised", action="store_true", default=False,
+                        help="run under the in-process elastic Supervisor "
+                             "(auto-resume latest, rollback on divergence)")
+    parser.add_argument("--max-restarts", default=3, type=int)
     add_perlin_model_options(parser)
     return parser
 
@@ -117,6 +125,7 @@ def build_trainer(args):
             scan_kd=args.scan_kd,
             data_parallel=args.data_parallel,
             compute_dtype=args.compute_dtype,
+            checkpoint_rotation=args.checkpoint_rotation,
         )
         if args.num_steps is not None:
             kw["num_steps"] = args.num_steps
@@ -191,7 +200,16 @@ def main(argv=None):
         else:
             print("acc:", trainer.evaluate("student"))
         return
-    trainer.train()
+    if args.supervised and args.dataset == "wikitext2":
+        from .resilience import Supervisor
+
+        report = Supervisor(trainer, max_restarts=args.max_restarts).run()
+        print(
+            f"supervised run complete: step={report.final_step} "
+            f"restarts={report.restarts}"
+        )
+    else:
+        trainer.train()
     trainer.save()
 
 

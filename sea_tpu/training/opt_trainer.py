@@ -82,6 +82,15 @@ class TrainerConfig:
     # bf16 activations/matmuls with f32 params, optimizer state and loss
     # islands — no loss scaling needed (bf16 keeps f32's exponent range).
     compute_dtype: Optional[str] = None
+    # failure detection / elastic recovery (training/resilience.py; the
+    # reference has no analogue beyond raise_if_nan, SURVEY §5.3):
+    # >0 keeps that many step-tagged checkpoints with an atomic LATEST
+    # pointer instead of overwriting one 'checkpoint' tag
+    checkpoint_rotation: int = 0
+    # raise TrainingDiverged when the loss goes non-finite at a log
+    # boundary (the sync already happens there; per-step checks would
+    # serialize the async dispatch pipeline)
+    halt_on_divergence: bool = True
 
 
 def _dealias(tree):
@@ -178,6 +187,8 @@ class OptTrainer:
         os.makedirs(cfg.save_dir, exist_ok=True)
         self.metrics_path = os.path.join(cfg.save_dir, "metrics.jsonl")
         self.step = 0
+        # extra micro-batches the resumed stream skips (resilience rollback)
+        self.data_offset = 0
 
         self._teacher_step = jax.jit(self._teacher_step_impl)
         if cfg.pretrain_teacher_steps > 0:
@@ -372,6 +383,17 @@ class OptTrainer:
         except Exception:
             pass
 
+    def _heartbeat(self, extra: Optional[Dict[str, Any]] = None):
+        """Atomically publish liveness (scripts/supervise.py watches this
+        file's mtime to detect hung processes, §5.3)."""
+        hb = {"step": self.step, "time": time.time()}
+        if extra:
+            hb.update({k: float(v) for k, v in extra.items()})
+        tmp = os.path.join(self.cfg.save_dir, ".heartbeat.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(hb))
+        os.replace(tmp, os.path.join(self.cfg.save_dir, "heartbeat.json"))
+
     def _full_state(self):
         """Complete resumable train state (reference persists
         step/epoch/model/optimizer/scaler, `opt_trainer.py:595-622`; here:
@@ -393,6 +415,11 @@ class OptTrainer:
     def save(self, tag: str = "checkpoint"):
         import orbax.checkpoint as ocp
 
+        if self.cfg.checkpoint_rotation > 0 and tag == "checkpoint":
+            from .resilience import save_rotating
+
+            save_rotating(self, keep=self.cfg.checkpoint_rotation)
+            return
         path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, self._full_state(), force=True)
@@ -404,8 +431,19 @@ class OptTrainer:
         only_additionals: load only the SEA-specific ('perlin') modules and
         keep the current base weights — the reference's
         `--load-only-additionals` partial load (perlin_trainer.py:524-531);
-        optimizer state and step are not restored in that mode."""
+        optimizer state and step are not restored in that mode.
+
+        tag='latest' resolves the rotating-checkpoint LATEST pointer
+        (training/resilience.py)."""
         import orbax.checkpoint as ocp
+
+        if tag == "latest":
+            from .resilience import resolve_latest
+
+            resolved = resolve_latest(self.cfg.save_dir)
+            if resolved is None:
+                return False
+            tag = resolved
 
         path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
         if not os.path.exists(path):
@@ -450,7 +488,9 @@ class OptTrainer:
         micro_steps = cfg.num_steps * cfg.gradient_accumulation_steps
         # resume-aware: the batch stream is seeded per epoch and already-
         # consumed batches are skipped deterministically, so a resumed run
-        # sees exactly the stream the uninterrupted run would have seen
+        # sees exactly the stream the uninterrupted run would have seen.
+        # `data_offset` (set by the resilience Supervisor after a rollback)
+        # additionally hops the stream past a poison data window.
         done = self.step * cfg.gradient_accumulation_steps
         consumed, epoch = 0, 0
         t0 = time.time()
@@ -460,7 +500,7 @@ class OptTrainer:
             ):
                 if done >= micro_steps:
                     break
-                if consumed < done:
+                if consumed < done + self.data_offset:
                     consumed += 1
                     continue
                 consumed += 1
@@ -493,6 +533,15 @@ class OptTrainer:
                         rec = {k: float(v) for k, v in details.items()}
                         rec["steps_per_s"] = self.step / (time.time() - t0)
                         self.log(rec)
+                        self._heartbeat(rec)
+                        if cfg.halt_on_divergence and not all(
+                            np.isfinite(v) for v in rec.values()
+                        ):
+                            from .resilience import TrainingDiverged
+
+                            raise TrainingDiverged(
+                                f"non-finite loss at step {self.step}: {rec}"
+                            )
                     if self.step % cfg.eval_steps == 0:
                         ppl = self.evaluate(max_batches=16)
                         self.log({"eval_ppl": ppl})
