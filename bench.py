@@ -12,11 +12,12 @@ reference implements as 4 Triton kernels + interpolation.
 Timing methodology: the kernel is iterated inside one jitted fori_loop with
 a data dependency between iterations, then a single device-to-host read —
 through the remote axon runtime, per-call host timing measures only relay
-round-trips. Each timing is min-of-3 reps (the relay adds multi-ms jitter
-per sync), and the kernel block shape is autotuned over the production
-candidates {512x512, 1024x512, 256x512} — block shape is a compile-time
-knob a deployment tunes per (T, sparsity) config, like the reference's
-Triton autotune over num_warps/block sizes.
+round-trips. ITERS=60 puts ~60-100 ms of device work behind each sync so
+the relay's multi-ms jitter is <5% of the measurement; each timing is
+additionally min-of-4 reps, and the kernel block shape is autotuned over
+the production candidates {512x512, 1024x512, 256x512} — block shape is a
+compile-time knob a deployment tunes per (T, sparsity) config, like the
+reference's Triton autotune over num_warps/block sizes.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = speedup over dense fp32 softmax attention of the same shape
@@ -31,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-ITERS = 20
+ITERS = 60
 ITERS_CPU = 2  # interpret mode is seconds-per-call; smoke only
 
 
@@ -104,7 +105,7 @@ def main():
         )
     )
 
-    def timeit(fn, *args, reps=3):
+    def timeit(fn, *args, reps=4):
         np.asarray(fn(*args)[0, 0, 0, 0])  # warmup/compile
         best = float("inf")
         for _ in range(reps):  # min-of-reps beats relay jitter
