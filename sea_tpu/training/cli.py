@@ -200,6 +200,22 @@ def main(argv=None):
         else:
             print("acc:", trainer.evaluate("student"))
         return
+    if args.dataset != "wikitext2":
+        # supervision / rotation are OptTrainer-only features; don't let
+        # the flags be silently ignored on glue/lra runs
+        ignored = [
+            name
+            for name, on in (
+                ("--supervised", args.supervised),
+                ("--checkpoint-rotation", getattr(args, "checkpoint_rotation", 0)),
+            )
+            if on
+        ]
+        if ignored:
+            raise SystemExit(
+                f"{' and '.join(ignored)} only supported with "
+                f"--dataset wikitext2 (got {args.dataset})"
+            )
     if args.supervised and args.dataset == "wikitext2":
         from .resilience import Supervisor
 

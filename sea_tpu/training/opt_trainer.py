@@ -102,6 +102,12 @@ def _dealias(tree):
     )
 
 
+class CheckpointLayoutError(ValueError):
+    """Deliberate checkpoint/trainer layout mismatch (e.g. resuming with a
+    different --scan-kd flag). The checkpoint is INTACT: recovery code
+    must surface this instead of quarantining the checkpoint as torn."""
+
+
 def tiny_configs(method: str = "perlin") -> Tuple[OptConfig, OptConfig]:
     sea = SeaConfig(
         num_heads=2, head_dim=8, predictor_length=8, k=2,
@@ -412,6 +418,33 @@ class OptTrainer:
             "layout": {"scan_kd": int(self.cfg.scan_kd)},
         }
 
+    def _write_layout_sidecar(self, tag: str):
+        """Tiny `<tag>.layout.json` next to the orbax dir: load() consults
+        it BEFORE restore, so a layout mismatch (different --scan-kd) is a
+        clean CheckpointLayoutError instead of an orbax tree-structure
+        failure that recovery code could mistake for a torn write."""
+        p = os.path.join(self.cfg.save_dir, tag + ".layout.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"scan_kd": int(self.cfg.scan_kd)}))
+        os.replace(tmp, p)
+
+    def _check_layout_sidecar(self, tag: str):
+        p = os.path.join(self.cfg.save_dir, tag + ".layout.json")
+        if not os.path.exists(p):
+            return
+        try:
+            with open(p) as f:
+                layout = json.load(f)
+        except (OSError, ValueError):
+            return  # unreadable sidecar: fall through to the orbax restore
+        if int(layout.get("scan_kd", self.cfg.scan_kd)) != int(self.cfg.scan_kd):
+            raise CheckpointLayoutError(
+                "checkpoint layout mismatch: saved scan_kd="
+                f"{bool(layout['scan_kd'])}, trainer scan_kd="
+                f"{self.cfg.scan_kd}"
+            )
+
     def save(self, tag: str = "checkpoint"):
         import orbax.checkpoint as ocp
 
@@ -424,6 +457,7 @@ class OptTrainer:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, self._full_state(), force=True)
         ckptr.wait_until_finished()
+        self._write_layout_sidecar(tag)
 
     def load(self, tag: str = "checkpoint", only_additionals: bool = False) -> bool:
         """Restore a checkpoint.
@@ -448,10 +482,11 @@ class OptTrainer:
         path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
         if not os.path.exists(path):
             return False
+        self._check_layout_sidecar(tag)
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, self._full_state())
         if int(restored["layout"]["scan_kd"]) != int(self.cfg.scan_kd):
-            raise ValueError(
+            raise CheckpointLayoutError(
                 "checkpoint layout mismatch: saved scan_kd="
                 f"{bool(restored['layout']['scan_kd'])}, trainer scan_kd="
                 f"{self.cfg.scan_kd}"
@@ -543,6 +578,19 @@ class OptTrainer:
                                 f"non-finite loss at step {self.step}: {rec}"
                             )
                     if self.step % cfg.eval_steps == 0:
+                        # re-check finiteness right before checkpointing:
+                        # if log_steps does not divide eval_steps, a NaN
+                        # could otherwise be saved (and LATEST-pointed)
+                        # before the next log-boundary divergence check.
+                        if cfg.halt_on_divergence and not np.isfinite(
+                            float(loss)
+                        ):
+                            from .resilience import TrainingDiverged
+
+                            raise TrainingDiverged(
+                                f"non-finite loss at step {self.step} "
+                                "(pre-checkpoint check)"
+                            )
                         ppl = self.evaluate(max_batches=16)
                         self.log({"eval_ppl": ppl})
                         self.save()

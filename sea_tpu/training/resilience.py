@@ -60,6 +60,7 @@ def save_rotating(trainer, keep: int = 2) -> str:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, trainer._full_state(), force=True)
     ckptr.wait_until_finished()
+    trainer._write_layout_sidecar(tag)
 
     latest = os.path.join(trainer.cfg.save_dir, "LATEST")
     tmp = latest + ".tmp"
@@ -69,6 +70,10 @@ def save_rotating(trainer, keep: int = 2) -> str:
 
     for old in _step_tags(trainer.cfg.save_dir)[:-keep]:
         shutil.rmtree(os.path.join(trainer.cfg.save_dir, old), ignore_errors=True)
+        try:
+            os.remove(os.path.join(trainer.cfg.save_dir, old + ".layout.json"))
+        except OSError:
+            pass
     return tag
 
 
@@ -93,14 +98,29 @@ def resume_latest(trainer) -> Optional[int]:
     pointed = resolve_latest(trainer.cfg.save_dir)
     ordered = [pointed] if pointed else []
     ordered += [t for t in reversed(tags) if t != pointed]
+    from .opt_trainer import CheckpointLayoutError
+
     for tag in ordered:
         try:
             if trainer.load(tag):
                 return trainer.step
+        except CheckpointLayoutError:
+            # deliberate layout mismatch (e.g. resuming with a different
+            # --scan-kd flag): the checkpoint is intact — deleting it
+            # would permanently destroy valid state. Surface the error.
+            raise
         except Exception:
-            # torn write or layout mismatch: quarantine and try older
+            # torn write: quarantine by renaming (never delete — a later
+            # inspection may recover it) and try the next older one
             bad = os.path.join(trainer.cfg.save_dir, tag)
-            shutil.rmtree(bad, ignore_errors=True)
+            if os.path.isdir(bad):
+                quarantined = bad + ".bad"
+                if os.path.exists(quarantined):
+                    shutil.rmtree(quarantined, ignore_errors=True)
+                try:
+                    os.replace(bad, quarantined)
+                except OSError:
+                    pass
             continue
     return None
 
@@ -170,9 +190,14 @@ class Supervisor:
         tr = self.trainer
         import jax
 
+        from .opt_trainer import _dealias
+
         tr.step = 0
         params = tr.combined_params if tr.cfg.scan_kd else tr.s_params
-        tr.opt_state = tr.tx.init(params)
+        # _dealias: _train_step donates (params, opt_state); freshly-init
+        # optimizer state aliases zero buffers, which breaks donation —
+        # same wrap the constructor uses (opt_trainer.py:242,248).
+        tr.opt_state = _dealias(tr.tx.init(params))
         tr.rng = jax.random.key(tr.cfg.seed)
 
 

@@ -61,6 +61,44 @@ def test_resume_latest_skips_torn_checkpoint(tmp_path):
     assert not os.path.exists(newest)  # quarantined
 
 
+def test_torn_checkpoint_quarantined_by_rename(tmp_path):
+    """A torn checkpoint is renamed (tag + '.bad'), never deleted — a
+    later inspection may recover it (ADVICE r2 #1)."""
+    tr = _mk_trainer(tmp_path, num_steps=4)
+    tr.train()
+    from sea_tpu.training.resilience import _step_tags, resume_latest
+
+    tags = _step_tags(str(tmp_path))
+    newest = os.path.join(str(tmp_path), tags[-1])
+    for root, _dirs, files in os.walk(newest):
+        for f in files:
+            with open(os.path.join(root, f), "w") as fh:
+                fh.write("torn")
+    tr2 = _mk_trainer(tmp_path, num_steps=4)
+    resume_latest(tr2)
+    assert os.path.isdir(newest + ".bad")  # preserved, not rmtree'd
+    # quarantined dirs are not candidate tags
+    assert tags[-1] not in _step_tags(str(tmp_path))
+
+
+def test_layout_mismatch_raises_and_preserves_checkpoints(tmp_path):
+    """Resuming with a mismatched --scan-kd flag must surface
+    CheckpointLayoutError and leave every checkpoint on disk (ADVICE r2:
+    the old behaviour rmtree'd all valid checkpoints and silently
+    restarted from scratch)."""
+    tr = _mk_trainer(tmp_path, num_steps=4, scan_kd=False)
+    tr.train()
+    from sea_tpu.training.opt_trainer import CheckpointLayoutError
+    from sea_tpu.training.resilience import _step_tags, resume_latest
+
+    tags_before = _step_tags(str(tmp_path))
+    assert tags_before
+    tr2 = _mk_trainer(tmp_path, num_steps=4, scan_kd=True)
+    with pytest.raises(CheckpointLayoutError):
+        resume_latest(tr2)
+    assert _step_tags(str(tmp_path)) == tags_before  # nothing deleted
+
+
 def test_heartbeat_published(tmp_path):
     tr = _mk_trainer(tmp_path, num_steps=2)
     tr.train()
@@ -167,7 +205,9 @@ sys.exit(0)
     rc = run_supervised(
         [sys.executable, "-c", child_src],
         save_dir,
-        stall_timeout=3.0,
+        # generous: under machine load the child can take seconds just to
+        # start and publish its first heartbeat (observed flaky at 3.0)
+        stall_timeout=10.0,
         max_restarts=2,
         poll_s=0.2,
         backoff_s=0.1,
