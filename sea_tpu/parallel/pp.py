@@ -80,7 +80,7 @@ def _micro_reshape(x: jnp.ndarray, num_micro: int) -> jnp.ndarray:
 def pipeline_layers(
     layer_apply,
     layer_vars,
-    h: jnp.ndarray,
+    h,
     bundle,
     *,
     mesh: Mesh,
@@ -90,26 +90,30 @@ def pipeline_layers(
 ):
     """GPipe forward through scan-stacked layers.
 
-    layer_apply(one_layer_vars, h_mb, bundle_mb) -> (h_mb', aux_scalar)
-    h: (N, T, D) with N % num_microbatches == 0; bundle: pytree whose
-    batch-leading leaves are microbatch-sliced alongside h.
+    layer_apply(one_layer_vars, h_mb, bundle_mb) -> (h_mb', aux)
+    h: an (N, T, D) array — or a pytree of arrays sharing the leading
+    batch dim N (the KD path pipelines the (teacher, student) hidden pair
+    as one carry) — with N % num_microbatches == 0; bundle: pytree whose
+    batch-leading leaves are microbatch-sliced alongside h. aux: a f32
+    scalar, or any fixed-shape f32 array (e.g. per-loss-component sums).
 
-    Returns (h_out (N, T, D), aux_mean) — aux averaged over layers and
-    microbatches exactly like the loop path's mean over per-layer aux.
+    Returns (h_out, aux_mean) — aux averaged over layers and microbatches
+    exactly like the loop path's mean over per-layer aux.
     """
     S = mesh.shape[axis]
     M = num_microbatches
-    N = h.shape[0]
+    tmap = jax.tree_util.tree_map
+    N = jax.tree_util.tree_leaves(h)[0].shape[0]
     num_layers = jax.tree_util.tree_leaves(layer_vars)[0].shape[0]
     assert num_layers % S == 0, (num_layers, S)
-    h_m = _micro_reshape(h, M)
-    bundle_m = jax.tree_util.tree_map(
+    h_m = tmap(lambda x: _micro_reshape(x, M), h)
+    bundle_m = tmap(
         lambda b: _micro_reshape(b, M)
         if hasattr(b, "ndim") and b.ndim >= 1 and b.shape[0] == N
         else b,
         bundle,
     )
-    is_micro = jax.tree_util.tree_map(
+    is_micro = tmap(
         lambda b: hasattr(b, "ndim") and b.ndim >= 1 and b.shape[0] == N, bundle
     )
 
@@ -122,10 +126,10 @@ def pipeline_layers(
 
     in_specs = (
         pp_stage_specs(layer_vars, axis),
-        mb_spec,
-        jax.tree_util.tree_map(bundle_spec, is_micro),
+        tmap(lambda _: mb_spec, h_m),
+        tmap(bundle_spec, is_micro),
     )
-    out_specs = (mb_spec, P())
+    out_specs = (tmap(lambda _: mb_spec, h_m), P())
 
     def stage_fn(lv, hm, bm):
         stage = lax.axis_index(axis)
@@ -133,7 +137,7 @@ def pipeline_layers(
         def slice_bundle(t):
             # the microbatch this stage processes at tick t is t - stage
             idx = jnp.clip(t - stage, 0, M - 1)
-            return jax.tree_util.tree_map(
+            return tmap(
                 lambda b, micro: lax.dynamic_index_in_dim(
                     b, idx, 0, keepdims=False
                 )
@@ -149,32 +153,50 @@ def pipeline_layers(
                 return y, aux
 
             y, auxs = lax.scan(body, x, lv)
-            return y, jnp.sum(auxs)
+            return y, jnp.sum(auxs, axis=0)
 
         def tick(carry, t):
             state, aux_total = carry
-            inject = lax.dynamic_index_in_dim(
-                hm, jnp.clip(t, 0, M - 1), 0, keepdims=False
+            inject = tmap(
+                lambda x: lax.dynamic_index_in_dim(
+                    x, jnp.clip(t, 0, M - 1), 0, keepdims=False
+                ),
+                hm,
             )
-            x = jnp.where(stage == 0, inject, state)
+            x = tmap(lambda i, s: jnp.where(stage == 0, i, s), inject, state)
             y, aux = run_local(x, slice_bundle(t))
             # stage s carries real microbatches only at ticks [s, s + M)
             valid = jnp.logical_and(t >= stage, t < stage + M)
             aux_total = aux_total + jnp.where(valid, aux, 0.0)
-            nxt = lax.ppermute(
-                y, axis, [(i, (i + 1) % S) for i in range(S)]
+            nxt = tmap(
+                lambda z: lax.ppermute(
+                    z, axis, [(i, (i + 1) % S) for i in range(S)]
+                ),
+                y,
             )
             return (nxt, aux_total), y
 
-        state0 = jnp.zeros_like(hm[0])
+        state0 = tmap(lambda x: jnp.zeros_like(x[0]), hm)
+        aux0 = jnp.zeros(
+            jax.eval_shape(
+                lambda x, b: run_local(x, b)[1], state0, slice_bundle(0)
+            ).shape,
+            jnp.float32,
+        )
         (_, aux_total), ys = lax.scan(
-            tick, (state0, jnp.float32(0.0)), jnp.arange(M + S - 1)
+            tick, (state0, aux0), jnp.arange(M + S - 1)
         )
         # the last stage's y at tick t is microbatch t - (S - 1)'s output
-        outs = ys[S - 1 :]
-        outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
+        outs = tmap(lambda y: y[S - 1 :], ys)
+        outs = tmap(
+            lambda y: jnp.where(stage == S - 1, y, jnp.zeros_like(y)), outs
+        )
         outs = lax.psum(outs, axis)
         aux = lax.psum(aux_total, axis) / jnp.float32(num_layers * M)
+        if dp_axis is not None:
+            # each dp shard's aux is the mean over its LOCAL rows; equal
+            # shard sizes make the full-batch mean the pmean over dp
+            aux = lax.pmean(aux, dp_axis)
         return outs, aux
 
     outs, aux = shard_map(
@@ -184,7 +206,7 @@ def pipeline_layers(
         out_specs=out_specs,
         check_vma=False,
     )(layer_vars, h_m, bundle_m)
-    return outs.reshape(N, *outs.shape[2:]), aux
+    return tmap(lambda o: o.reshape(N, *o.shape[2:]), outs), aux
 
 
 def split_scan_vars(variables) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -260,3 +282,130 @@ def pp_causal_lm_forward(
     h = model.apply(variables, h, method=lambda m, x: m.model.finalize(x))
     logits = model.apply(variables, h, method=lambda m, x: m.logits(x))
     return logits, aux
+
+
+def pp_kd_loss(
+    teacher_model,
+    student_model,
+    teacher_variables,
+    student_variables,
+    input_ids: jnp.ndarray,
+    attention_mask_1d: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis: str = "pp",
+    dp_axis: Optional[str] = None,
+    task_scale: float = 0.1,
+    ignore_kd: bool = False,
+    use_remat: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Knowledge-distillation loss through the pipeline: the (teacher,
+    student) layer pair streams through the pp stages as ONE carry, so the
+    per-layer teacher captures (dense scores + context,
+    `/root/reference/src/trainer/opt_trainer.py:91-199`'s KD recipe) stay
+    stage-local — the O(T^2) capture never crosses an ICI hop, only the two
+    (mb, T, D) hidden states do.
+
+    Exactly the `SeaOptKDScan.kd_loss` math (training/distill.py):
+      0.1·task CE + 5·mean hidden MSE (incl. embedding layer) +
+      0.2·logit KL + mean attention-distill aux,
+    with embeds/finalize/logits replicated (tiny next to the layer stacks)
+    and the layer pairs pipelined. Teacher gradients are structurally zero
+    (stop_gradient per stage). Both variable trees must be in scan layout.
+
+    Returns (loss, details) with the same keys as SeaOptKD.kd_loss.
+    """
+    from ..models.opt import cross_entropy_shifted
+
+    t_layer_vars, t_vars = split_scan_vars(teacher_variables)
+    s_layer_vars, s_vars = split_scan_vars(student_variables)
+    assert t_layer_vars and s_layer_vars, "variables are not in scan layout"
+    t_layer_mod = _layer_module(teacher_model)
+    s_layer_mod = _layer_module(student_model)
+    num_layers = jax.tree_util.tree_leaves(t_layer_vars)[0].shape[0]
+
+    h_t, bundle = teacher_model.apply(
+        t_vars,
+        input_ids,
+        attention_mask_1d,
+        method=lambda m, i, a: m.model.embed(i, a),
+    )
+    h_s, _ = student_model.apply(
+        s_vars,
+        input_ids,
+        attention_mask_1d,
+        method=lambda m, i, a: m.model.embed(i, a),
+    )
+    h_t = jax.lax.stop_gradient(h_t)
+    mse0 = jnp.mean((h_t.astype(jnp.float32) - h_s.astype(jnp.float32)) ** 2)
+
+    def layer_apply(lv, carry_mb, bundle_mb):
+        ht, hs = carry_mb
+        ht2, _, cap = t_layer_mod.apply(lv["t"], ht, bundle_mb)
+        ht2 = jax.lax.stop_gradient(ht2)
+        cap = jax.tree_util.tree_map(jax.lax.stop_gradient, cap)
+        hs2, aux, _ = s_layer_mod.apply(
+            lv["s"], hs, bundle_mb, cap, training=True
+        )
+        mse = jnp.mean(
+            (ht2.astype(jnp.float32) - hs2.astype(jnp.float32)) ** 2
+        )
+        aux = aux if aux is not None else jnp.float32(0.0)
+        return (ht2, hs2), jnp.stack([jnp.asarray(aux, jnp.float32), mse])
+
+    if use_remat:
+        # rematerialize the layer pair in backward: never save a dense
+        # (mb, H, T, T) teacher capture across the GPipe schedule (same
+        # policy as SeaOptKDScan's nn.remat body)
+        layer_apply = jax.checkpoint(layer_apply, prevent_cse=False)
+
+    (h_t, h_s), aux_mean = pipeline_layers(
+        layer_apply,
+        {"t": t_layer_vars, "s": s_layer_vars},
+        (h_t, h_s),
+        bundle,
+        mesh=mesh,
+        num_microbatches=num_microbatches,
+        axis=axis,
+        dp_axis=dp_axis,
+    )
+    # aux_mean[c] = (1/(L·M))·ΣΣ — with equal microbatches, per-layer
+    # full-batch means are the microbatch-mean, so Σ_layers mse = L·mean
+    loss_special = aux_mean[0]
+    loss_hidden = (mse0 + aux_mean[1] * num_layers) / (num_layers + 1) * 5.0
+
+    logits_t = jax.lax.stop_gradient(
+        teacher_model.apply(
+            t_vars, h_t, method=lambda m, x: m.logits(m.model.finalize(x))
+        )
+    )
+    logits_s = student_model.apply(
+        s_vars, h_s, method=lambda m, x: m.logits(m.model.finalize(x))
+    )
+    task_loss = cross_entropy_shifted(logits_s, labels)
+    lt = logits_t.reshape(-1, logits_t.shape[-1]).astype(jnp.float32)
+    ls = logits_s.reshape(-1, logits_s.shape[-1]).astype(jnp.float32)
+    target = jax.nn.softmax(lt, -1)
+    log_input = jax.nn.log_softmax(ls, -1)
+    loss_logit_kl = (
+        (target * (jnp.log(target + 1e-12) - log_input)).sum()
+        / lt.shape[0]
+        * 0.2
+    )
+    if ignore_kd:
+        loss = task_loss
+    else:
+        loss = (
+            task_scale * task_loss + loss_hidden + loss_logit_kl
+            + loss_special
+        )
+    return loss, {
+        "loss": loss,
+        "loss_model": task_scale * task_loss,
+        "loss_kd_hidden": loss_hidden,
+        "loss_kd_logit": loss_logit_kl,
+        "loss_sp": loss_special,
+        "student_task_loss": task_loss,
+    }
