@@ -601,10 +601,42 @@ class SeaAttention(nn.Module):
                         if row_scaler is not None
                         else jnp.ones((N, H, T_DST), q.dtype)
                     )
-                    partial_context_layer = fused_sparse_attention(
-                        q_kern, k_for_score, v, mask_bin, scaler_arr,
-                        bq, auto_block(T_SRC), interp,
-                    )
+                    if shard_ctx is not None:
+                        # sequence/head-sharded DIFFERENTIABLE kernel:
+                        # long-context training scales past one chip
+                        # (VERDICT r2 #2)
+                        from ..parallel.sharded_attention import (
+                            head_sharded_fused_train,
+                            sharded_fused_train_attention,
+                        )
+
+                        if shard_ctx.kind == "head":
+                            partial_context_layer = head_sharded_fused_train(
+                                q_kern, k_for_score, v, mask_bin, scaler_arr,
+                                shard_ctx.mesh, axis=shard_ctx.axis,
+                                block_q=shard_ctx.block_q or bq,
+                                block_k=shard_ctx.block_k
+                                or auto_block(T_SRC),
+                                interpret=interp,
+                            )
+                        else:
+                            partial_context_layer = (
+                                sharded_fused_train_attention(
+                                    q_kern, k_for_score, v, mask_bin,
+                                    scaler_arr,
+                                    shard_ctx.mesh, axis=shard_ctx.axis,
+                                    zigzag=shard_ctx.zigzag,
+                                    block_q=shard_ctx.block_q or bq,
+                                    block_k=shard_ctx.block_k
+                                    or auto_block(T_SRC),
+                                    interpret=interp,
+                                )
+                            )
+                    else:
+                        partial_context_layer = fused_sparse_attention(
+                            q_kern, k_for_score, v, mask_bin, scaler_arr,
+                            None, bq, auto_block(T_SRC), interp,
+                        )
                 elif shard_ctx is not None and cfg.causal:
                     # multi-chip benchmark path: shard_map'd fused kernel over
                     # the sp mesh axis (sequence zigzag or head partitioning)
@@ -626,6 +658,25 @@ class SeaAttention(nn.Module):
                             block_k=shard_ctx.block_k,
                             oversample=cfg.k_oversample,
                             k_cfg=float(cfg.effective_k), interpret=interp,
+                        )
+                    elif shard_ctx.kind == "ring":
+                        # K/V-sharded ring: per-chip K/V O(T/shards)
+                        from ..parallel.sharded_attention import (
+                            ring_sea_attention,
+                        )
+
+                        assert cfg.k_oversample == 1.0, (
+                            "ring sharding does not implement the "
+                            "oversample keep-predicate; use kind='seq'"
+                        )
+
+                        partial_context_layer = ring_sea_attention(
+                            q_kern, k_for_score, v, mask_bin, scaler_arr,
+                            shard_ctx.mesh, axis=shard_ctx.axis,
+                            zigzag=shard_ctx.zigzag,
+                            block_q=shard_ctx.block_q or 128,
+                            block_k=shard_ctx.block_k or 128,
+                            interpret=interp,
                         )
                     else:
                         partial_context_layer = sharded_sea_attention(

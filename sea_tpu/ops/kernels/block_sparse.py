@@ -1144,7 +1144,11 @@ def _causal_kernel_dkv(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _diff_prep(q, k, mask_m, block_q, block_k):
+def _diff_prep(q, k, mask_m, block_q, block_k, row_base=None):
+    """row_base: optional (NQ,) global base row per local q-block (float or
+    int) — set by the sequence-sharded path, where a shard's rows are
+    zigzag-permuted blocks of the global sequence and the causal widths
+    must use the GLOBAL row index."""
     N, H, T_DST, D = q.shape
     T_SRC = k.shape[2]
     T_M = mask_m.shape[-1]
@@ -1154,22 +1158,30 @@ def _diff_prep(q, k, mask_m, block_q, block_k):
     n_words = (T_M + 31) // 32
     NH, NQ, NKB = N * H, T_DST // block_q, T_SRC // block_k
     mbits = pack_compressed_bits(mask_m).reshape(NH, T_DST, n_words)
-    act = _causal_activity(mask_m, T_SRC, block_q, block_k)  # (N,H,NQ,NKB)
+    if row_base is None:
+        row_widths = None
+        row_base_arr = jnp.arange(NQ, dtype=jnp.int32) * block_q
+    else:
+        row_base_arr = row_base.astype(jnp.int32)
+        rw = row_base_arr[:, None] + jnp.arange(block_q, dtype=jnp.int32)[None, :]
+        row_widths = (rw + 1).reshape(-1).astype(jnp.float32)
+    act = _causal_activity(
+        mask_m, T_SRC, block_q, block_k, row_widths=row_widths
+    )  # (N,H,NQ,NKB)
     counts, idx = _compact_lists(act)
     countsT, idxT = _compact_lists(jnp.swapaxes(act, -1, -2))
-    rowbase = jnp.broadcast_to(
-        (jnp.arange(NQ, dtype=jnp.int32) * block_q)[None, :], (NH, NQ)
-    )
+    rowbase = jnp.broadcast_to(row_base_arr[None, :], (NH, NQ)).astype(jnp.int32)
     return mbits, counts.reshape(NH, NQ), idx.reshape(NH, NQ, NKB), \
         countsT.reshape(NH, NKB), idxT.reshape(NH, NKB, NQ), rowbase, n_words
 
 
-def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret):
+def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret,
+                    row_base=None):
     N, H, T_DST, D = q.shape
     T_SRC = k.shape[2]
     T_M = mask_m.shape[-1]
     mbits, counts, idx, countsT, idxT, rowbase, n_words = _diff_prep(
-        q, k, mask_m, block_q, block_k
+        q, k, mask_m, block_q, block_k, row_base
     )
     NH, NQ, NKB = N * H, T_DST // block_q, T_SRC // block_k
     submask = jnp.zeros_like(idx)
@@ -1219,14 +1231,107 @@ def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret):
     return o.reshape(N, H, T_DST, D), lse
 
 
-def _diff_core(q, k, v, mask_m, scaler, block_q, block_k, interpret):
-    o, lse = _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret)
+def _causal_kernel_fwd_stats_cb(
+    counts_ref, idx_ref, submask_ref, rowbase_ref, cb_ref, *rest, **kw
+):
+    """fwd_stats with an extra column-window prefetch operand (cb_ref,
+    consumed only by the k/v BlockSpec index maps — idx holds GLOBAL
+    k-block ids so the in-kernel pixel math needs no change)."""
+    return _causal_kernel_fwd_stats(
+        counts_ref, idx_ref, submask_ref, rowbase_ref, *rest, **kw
+    )
+
+
+def fwd_stats_window(
+    q: jnp.ndarray,  # (N, H, T_DST, D) local query rows (pre-scaled)
+    k_win: jnp.ndarray,  # (N, H, CH, D) one K window (chunk) of the source
+    v_win: jnp.ndarray,  # (N, H, CH, D)
+    mbits: jnp.ndarray,  # (NH, T_DST, n_words) packed compressed mask
+    counts: jnp.ndarray,  # (NH, NQ) active blocks within the window
+    idx_global: jnp.ndarray,  # (NH, NQ, NKW) GLOBAL k-block ids
+    rowbase: jnp.ndarray,  # (NH, NQ) global base row per q-block
+    col_block_base: jnp.ndarray,  # (1,) int32: first global k-block of k_win
+    *,
+    t_m: int,
+    block_q: int,
+    block_k: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One flash pass of the causal kernel over a K/V WINDOW: returns the
+    window-normalized output and per-row logsumexp, for cross-window merge
+    (the ring-attention building block — K/V never materialize beyond one
+    chunk per device). idx_global carries global block ids (correct pixel
+    math); the BlockSpec subtracts `col_block_base` to index the window."""
+    N, H, T_DST, D = q.shape
+    CH = k_win.shape[2]
+    n_words = mbits.shape[-1]
+    NH, NQ = N * H, T_DST // block_q
+    NKW = CH // block_k
+    qf = q.reshape(NH, T_DST, D)
+    kf = k_win.reshape(NH, CH, D)
+    vf = v_win.reshape(NH, CH, D)
+    scalerf = jnp.ones((NH, T_DST, 128), q.dtype)
+    submask = jnp.zeros_like(idx_global)
+    kernel = functools.partial(
+        _causal_kernel_fwd_stats_cb, t_m=t_m, block_q=block_q,
+        block_k=block_k, n_words=n_words,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(NH, NQ, NKW),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, i, j, c, x, sm, rb, cb:
+                         (h, x[h, i, j] - cb[0], 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, i, j, c, x, sm, rb, cb:
+                         (h, x[h, i, j] - cb[0], 0)),
+            pl.BlockSpec((1, block_q, n_words),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NH, T_DST, D), q.dtype),
+            jax.ShapeDtypeStruct((NH, T_DST, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(counts, idx_global, submask, rowbase,
+      col_block_base.astype(jnp.int32), qf, kf, vf, mbits, scalerf)
+    return o, lse[:, :, 0]
+
+
+def _diff_core(q, k, v, mask_m, scaler, row_base, block_q, block_k, interpret):
+    o, lse = _fwd_with_stats(
+        q, k, v, mask_m, scaler, block_q, block_k, interpret, row_base
+    )
     return o, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_sparse_attention(
-    q, k, v, mask_m, row_scaler,
+    q, k, v, mask_m, row_scaler, row_base=None,
     block_q: int = 512, block_k: int = 512, interpret: bool = False,
 ):
     """Differentiable fused causal sparse attention (custom_vjp).
@@ -1235,24 +1340,33 @@ def fused_sparse_attention(
     per-(row,head) softmax over the dense-resize-expanded compressed mask,
     times the row scaler (pass ones when unused — custom_vjp needs a
     concrete cotangent slot). mask_m gets zero cotangent (binary
-    selection); q/k/v/row_scaler get flash-style recompute gradients."""
-    o, _ = _diff_core(q, k, v, mask_m, row_scaler, block_q, block_k, interpret)
+    selection); q/k/v/row_scaler get flash-style recompute gradients.
+
+    row_base: optional (NQ,) FLOAT array of global base rows per local
+    q-block — the sequence-sharded train path passes the zigzag block
+    bases so the causal widths use global row indices (zero cotangent)."""
+    o, _ = _diff_core(
+        q, k, v, mask_m, row_scaler, row_base, block_q, block_k, interpret
+    )
     return o
 
 
-def _fused_fwd(q, k, v, mask_m, row_scaler, block_q, block_k, interpret):
-    o, lse = _diff_core(q, k, v, mask_m, row_scaler, block_q, block_k, interpret)
-    return o, (q, k, v, mask_m, row_scaler, o, lse)
+def _fused_fwd(q, k, v, mask_m, row_scaler, row_base, block_q, block_k,
+               interpret):
+    o, lse = _diff_core(
+        q, k, v, mask_m, row_scaler, row_base, block_q, block_k, interpret
+    )
+    return o, (q, k, v, mask_m, row_scaler, row_base, o, lse)
 
 
 def _fused_bwd(block_q, block_k, interpret, res, do):
-    q, k, v, mask_m, scaler, o, lse = res  # lse (NH,T,128)
+    q, k, v, mask_m, scaler, row_base, o, lse = res  # lse (NH,T,128)
     N, H, T_DST, D = q.shape
     T_SRC = k.shape[2]
     T_M = mask_m.shape[-1]
     NH, NQ, NKB = N * H, T_DST // block_q, T_SRC // block_k
     mbits, counts, idx, countsT, idxT, rowbase, n_words = _diff_prep(
-        q, k, mask_m, block_q, block_k
+        q, k, mask_m, block_q, block_k, row_base
     )
 
     do_f = do.astype(jnp.float32)
@@ -1350,7 +1464,8 @@ def _fused_bwd(block_q, block_k, interpret, res, do):
     dk = dk.reshape(N, H, T_SRC, D)
     dv = dv.reshape(N, H, T_SRC, D)
     dmask = jnp.zeros_like(mask_m)
-    return dq, dk, dv, dmask, dscaler
+    drow_base = None if row_base is None else jnp.zeros_like(row_base)
+    return dq, dk, dv, dmask, dscaler, drow_base
 
 
 fused_sparse_attention.defvjp(_fused_fwd, _fused_bwd)

@@ -30,7 +30,9 @@ _TLS = threading.local()
 class AttnShardingContext:
     mesh: Mesh
     axis: str = "sp"
-    kind: str = "seq"  # 'seq' (zigzag row blocks) | 'head'
+    kind: str = "seq"  # 'seq' (zigzag row blocks) | 'head' | 'ring'
+    #   'ring': K/V stay sequence-sharded and rotate via ppermute —
+    #   per-chip K/V memory O(T/shards) (benchmark path only)
     zigzag: bool = True
     block_q: Optional[int] = None
     block_k: Optional[int] = None

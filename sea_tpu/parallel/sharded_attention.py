@@ -169,6 +169,260 @@ def sharded_sea_attention(
     return out
 
 
+def head_sharded_fused_train(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_m: jnp.ndarray,
+    row_scaler: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Head-partitioned DIFFERENTIABLE fused attention: like
+    `head_sharded_sea_attention` but through the custom_vjp kernel
+    (`fused_sparse_attention`), so gradients flow — zero cross-device
+    communication in forward AND backward (every cotangent is
+    head-local)."""
+    from ..ops.kernels.block_sparse import fused_sparse_attention
+
+    N, H, T, D = q.shape
+    n_shards = mesh.shape[axis]
+    assert H % n_shards == 0
+    spec = P(None, axis, None, None)
+    scaler_spec = P(None, axis, None)
+
+    def shard_fn(q_l, k_l, v_l, mask_l, scaler_l):
+        return fused_sparse_attention(
+            q_l, k_l, v_l, mask_l, scaler_l, None,
+            block_q, block_k, interpret,
+        )
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, scaler_spec),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v, mask_m, row_scaler)
+
+
+def sharded_fused_train_attention(
+    q: jnp.ndarray,  # (N, H, T, D) pre-scaled
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_m: jnp.ndarray,  # (N, H, T, T_M)
+    row_scaler: jnp.ndarray,  # (N, H, T)
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    zigzag: bool = True,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sequence-sharded DIFFERENTIABLE fused attention (VERDICT r2 #2):
+    query rows zigzag-shard over `axis`, K/V replicated per shard, and the
+    custom_vjp kernel runs with per-shard global `row_base` so the causal
+    widths (and the compressed-mask pixel math) use GLOBAL row indices.
+
+    Backward: dq/dscaler are row-local (ride the same sharding); dk/dv are
+    per-shard partials over the full source axis, psum'ed by shard_map's
+    transpose of the replicated in_spec — one reduce per backward, the
+    sequence-parallel analogue of Megatron's column-parallel grad reduce.
+    Long-context *training* memory for scores/stats scales 1/n_shards."""
+    N, H, T, D = q.shape
+    n_shards = mesh.shape[axis]
+    assert T % n_shards == 0
+    block_q = min(block_q, T // n_shards)  # shard-local rows bound the tile
+    assert (T // n_shards) % block_q == 0, (T, n_shards, block_q)
+
+    if zigzag and n_shards > 1:
+        perm = _zigzag_perm(T, n_shards, block_q)
+        inv = jnp.argsort(perm)
+        qp = q[:, :, perm]
+        maskp = mask_m[:, :, perm]
+        scalerp = row_scaler[:, :, perm]
+        rows = perm
+    else:
+        inv = None
+        qp, maskp, scalerp = q, mask_m, row_scaler
+        rows = jnp.arange(T, dtype=jnp.int32)
+    # float row ids: row_base is a differentiable custom_vjp slot (gets a
+    # structural zero cotangent); int primals would need float0 handling
+    rows_b = jnp.broadcast_to(
+        rows[None, None, :].astype(jnp.float32), (N, H, T)
+    )
+
+    in_specs = (
+        P(None, None, axis, None),  # q rows sharded
+        P(),  # k replicated
+        P(),  # v replicated
+        P(None, None, axis, None),  # mask rows sharded
+        P(None, None, axis),  # scaler rows sharded
+        P(None, None, axis),  # global row ids
+    )
+
+    def shard_fn(q_l, k_full, v_full, mask_l, scaler_l, rows_l):
+        row_base = rows_l[0, 0, ::block_q]  # (TL/bq,) f32 global bases
+        return fused_sparse_attention_ref(
+            q_l, k_full, v_full, mask_l, scaler_l, row_base,
+            block_q, block_k, interpret,
+        )
+
+    from ..ops.kernels.block_sparse import (
+        fused_sparse_attention as fused_sparse_attention_ref,
+    )
+
+    out = shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )(qp, k, v, maskp, scalerp, rows_b)
+    if inv is not None:
+        out = out[:, :, inv]
+    return out
+
+
+def ring_sea_attention(
+    q: jnp.ndarray,  # (N, H, T, D) pre-scaled
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_m: jnp.ndarray,  # (N, H, T, T_M)
+    row_scaler: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    zigzag: bool = True,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Memory-scalable sequence-sharded SEA attention (VERDICT r2 #6/#7):
+    K/V stay SHARDED over `axis` (per-chip K/V memory O(T/n_shards), not
+    O(T)) and rotate around the ring with `lax.ppermute` — each step the
+    kernel consumes the resident chunk while the next one is in flight
+    (ring attention; XLA overlaps the ppermute with the pallas_call since
+    neither depends on the other within a step).
+
+    Query rows zigzag-shard as in `sharded_sea_attention`; per-step flash
+    partials (window-normalized out + logsumexp from `fwd_stats_window`)
+    merge with the standard logaddexp recombination, so the result is
+    bit-consistent with one full-width kernel pass up to fp reassociation.
+    """
+    from ..ops.kernels.block_sparse import (
+        _causal_activity,
+        _compact_lists,
+        fwd_stats_window,
+        pack_compressed_bits,
+    )
+
+    N, H, T, D = q.shape
+    n_shards = mesh.shape[axis]
+    assert T % n_shards == 0
+    TL = T // n_shards
+    CH = TL  # K/V chunk per device = its sequence shard
+    block_q = min(block_q, TL)
+    block_k = min(block_k, CH)
+    assert TL % block_q == 0 and CH % block_k == 0
+    T_M = mask_m.shape[-1]
+    NKW = CH // block_k
+
+    if zigzag and n_shards > 1:
+        perm = _zigzag_perm(T, n_shards, block_q)
+        inv = jnp.argsort(perm)
+        qp = q[:, :, perm]
+        maskp = mask_m[:, :, perm]
+        scalerp = row_scaler[:, :, perm] if row_scaler is not None else None
+        rows = perm
+    else:
+        inv = None
+        qp, maskp, scalerp = q, mask_m, row_scaler
+        rows = jnp.arange(T, dtype=jnp.int32)
+    if scalerp is None:
+        scalerp = jnp.ones((N, H, T), q.dtype)
+    rows_b = jnp.broadcast_to(rows[None, None, :], (N, H, T))
+
+    seq_spec = P(None, None, axis, None)
+    in_specs = (
+        seq_spec,  # q rows sharded
+        seq_spec,  # k SHARDED over source positions (contiguous chunks)
+        seq_spec,  # v sharded
+        seq_spec,  # mask rows sharded
+        P(None, None, axis),  # scaler rows sharded
+        P(None, None, axis),  # global row ids
+    )
+
+    def shard_fn(q_l, k_l, v_l, mask_l, scaler_l, rows_l):
+        me = jax.lax.axis_index(axis)
+        NH = N * H
+        n_words = (T_M + 31) // 32
+        row_base = rows_l[0, 0, ::block_q]  # (TL/bq,) global bases
+        rowbase = jnp.broadcast_to(
+            row_base[None, :], (NH, TL // block_q)
+        ).astype(jnp.int32)
+        row_widths = (rows_l[0, 0] + 1).astype(jnp.float32)
+        # global activity over ALL k-blocks once; each step slices its
+        # window (compressed-domain interval math, O(T·T_M), no T x T)
+        act = _causal_activity(
+            mask_l, T, block_q, block_k, row_widths=row_widths
+        ).reshape(NH, TL // block_q, T // block_k)
+        mbits = pack_compressed_bits(mask_l).reshape(NH, TL, n_words)
+        qf = q_l.reshape(N, H, TL, D)
+
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def step(carry, s):
+            k_cur, v_cur, L, acc = carry
+            chunk_id = (me - s) % n_shards  # which global chunk k_cur holds
+            w0 = chunk_id * NKW
+            act_win = jax.lax.dynamic_slice_in_dim(act, w0, NKW, axis=-1)
+            counts, idx = _compact_lists(act_win[:, None])  # add dummy dim
+            counts = counts[:, 0]
+            idx = idx[:, 0] + w0  # GLOBAL block ids
+            o_s, lse_s = fwd_stats_window(
+                qf, k_cur, v_cur, mbits, counts, idx, rowbase,
+                jnp.reshape(w0, (1,)).astype(jnp.int32),
+                t_m=T_M, block_q=block_q, block_k=block_k,
+                interpret=interpret,
+            )
+            # window-dead rows carry lse=+inf (bwd convention); for the
+            # merge they must contribute zero mass
+            lse_m = jnp.where(jnp.isposinf(lse_s), -jnp.inf, lse_s)
+            L_new = jnp.logaddexp(L, lse_m)
+            w_old = jnp.where(
+                jnp.isneginf(L), 0.0, jnp.exp(L - L_new)
+            )[..., None]
+            w_s = jnp.where(
+                jnp.isneginf(lse_m), 0.0, jnp.exp(lse_m - L_new)
+            )[..., None]
+            acc = acc * w_old + o_s.astype(jnp.float32) * w_s
+            k_nxt = jax.lax.ppermute(k_cur, axis, fwd)
+            v_nxt = jax.lax.ppermute(v_cur, axis, fwd)
+            return (k_nxt, v_nxt, L_new, acc), None
+
+        L0 = jnp.full((NH, TL), -jnp.inf, jnp.float32)
+        acc0 = jnp.zeros((NH, TL, D), jnp.float32)
+        (_, _, _, acc), _ = jax.lax.scan(
+            step, (k_l, v_l, L0, acc0), jnp.arange(n_shards)
+        )
+        out = acc.reshape(N, H, TL, D) * scaler_l[..., None].astype(
+            jnp.float32
+        )
+        return out.astype(q_l.dtype)
+
+    out = shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )(qp, k, v, maskp, scalerp, rows_b)
+    if inv is not None:
+        out = out[:, :, inv]
+    return out
+
+
 def _masked_rowwise_attention(
     q_l, k_full, v_full, mask_l, scaler_l, rows_l, *, is_causal, interpret
 ):

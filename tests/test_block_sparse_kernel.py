@@ -224,7 +224,7 @@ def test_fused_vjp_matches_dense_grads():
 
     def loss_fused(q, k, v, scaler):
         o = fused_sparse_attention(
-            q, k, v, mask, scaler, 64, 64, True
+            q, k, v, mask, scaler, None, 64, 64, True
         )
         return jnp.sum((o - tgt) ** 2)
 
@@ -244,7 +244,7 @@ def test_fused_vjp_forward_matches_kernel():
     from sea_tpu.ops.kernels.block_sparse import fused_sparse_attention
 
     q, k, v, mask, scaler = make_case(T=256, T_M=32, density=0.3)
-    o1 = fused_sparse_attention(q, k, v, mask, scaler, 64, 64, True)
+    o1 = fused_sparse_attention(q, k, v, mask, scaler, None, 64, 64, True)
     o2 = sea_block_sparse_attention(
         q, k, v, mask, scaler, is_causal=True, block_q=64, block_k=64,
         interpret=True,
