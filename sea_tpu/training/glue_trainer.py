@@ -172,9 +172,16 @@ class GlueTrainer:
         out = self.kd.student.apply(sv, ids, mask, tt)
         return out["logits"]
 
-    def evaluate(self, max_batches=None) -> float:
-        correct, total = 0, 0
-        sse = 0.0
+    def evaluate(self, max_batches=None, return_dict: bool = False):
+        """Per-task GLUE metric (reference
+        `glue_trainer.py:321-359` / HF `load_metric('glue', subset)`):
+        Matthews for cola, accuracy+F1 for mrpc/qqp, Pearson/Spearman for
+        stsb, accuracy otherwise. Returns the task's primary score (what
+        the reference logs as eval/score), or the full metric dict with
+        `return_dict=True`."""
+        from .glue_metrics import glue_compute, primary_score
+
+        preds, labels_all = [], []
         for i, (ids, mask, tt, labels) in enumerate(
             self.eval_ds.batches(self.batch_size)
         ):
@@ -185,15 +192,19 @@ class GlueTrainer:
                     self.s_params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)
                 )
             )
-            if self.num_labels == 1:
-                sse += float(((logits[:, 0] - labels) ** 2).sum())
-                total += len(labels)
+            if self.num_labels == 1:  # stsb regression: raw scores
+                preds.append(logits[:, 0])
             else:
-                correct += int((logits.argmax(-1) == labels).sum())
-                total += len(labels)
-        if self.num_labels == 1:
-            return -sse / max(total, 1)  # negative MSE as "score"
-        return correct / max(total, 1)
+                preds.append(logits.argmax(-1))
+            labels_all.append(labels)
+        preds = np.concatenate(preds) if preds else np.zeros((0,))
+        labels_all = (
+            np.concatenate(labels_all) if labels_all else np.zeros((0,))
+        )
+        metrics = glue_compute(self.cfg.subset, preds, labels_all)
+        if return_dict:
+            return metrics
+        return primary_score(self.cfg.subset, metrics)
 
     def train(self):
         cfg = self.cfg
