@@ -115,11 +115,16 @@ def main():
         return best
 
     t0 = timeit(noop, q, k, v, mask, scaler)
-    t_sparse = min(
-        max((timeit(fn, q, k, v, mask, scaler) - t0) / ITERS, 1e-9)
-        for fn in sparse_fns
-    )
-    t_dense = max((timeit(dense1, q, k, v) - t0) / ITERS, 1e-9)
+    t_sparse_raw = min(timeit(fn, q, k, v, mask, scaler) for fn in sparse_fns)
+    t_dense_raw = timeit(dense1, q, k, v)
+    # tamper-proofing: the dispatch-overhead baseline must be small next to
+    # the timed work, or the subtraction would dominate the headline number
+    # (e.g. if XLA ever collapsed the noop's fori_loop). Fall back to the
+    # conservative no-subtraction timing if the invariant breaks.
+    if not (t0 < 0.2 * t_sparse_raw):
+        t0 = 0.0
+    t_sparse = max((t_sparse_raw - t0) / ITERS, 1e-9)
+    t_dense = max((t_dense_raw - t0) / ITERS, 1e-9)
 
     nnz = int(mask_nnz(mask, T, True))
 

@@ -165,12 +165,22 @@ def get_corpus(
     synthetic_fallback: bool = True,
     vocab_size: int = 50272,
     dataset: str = "wikitext2",
+    cache_dir: Optional[str] = None,
 ) -> WindowedCorpus:
+    """cache_dir: where `{dataset}_{split}.npy` token files live (default
+    saves/data). REAL-DATA DROP-IN (docs/REAL_DATA.md): placing those .npy
+    files there makes every trainer consume the real corpus with zero code
+    edits — the cache check precedes any network access, and the
+    synthetic fallback only triggers when the file is absent."""
     try:
         if dataset == "openwebtext":
-            tokens = load_openwebtext_tokens(split=split, allow_download=True)
+            tokens = load_openwebtext_tokens(
+                split=split, allow_download=True, cache_dir=cache_dir
+            )
         else:
-            tokens = load_wikitext2_tokens(split=split, allow_download=True)
+            tokens = load_wikitext2_tokens(
+                split=split, allow_download=True, cache_dir=cache_dir
+            )
     except Exception:
         if not synthetic_fallback:
             raise

@@ -417,3 +417,62 @@ class BertForSequenceClassification(nn.Module):
             "aux_loss": aux_loss,
             "last_hidden_state": h,
         }
+
+
+class BertForMaskedLM(nn.Module):
+    """MLM head (reference `perlin_bert.py:1935` BertForMaskedLM ->
+    BertOnlyMLMHead: transform dense + gelu + LayerNorm, then a decoder
+    tied to the word embeddings plus a free bias). Labels use the HF
+    convention: -100 positions are unsupervised."""
+
+    cfg: BertConfig
+
+    def setup(self):
+        c = self.cfg
+        self.bert = BertModel(c, name="bert")
+        self.transform = nn.Dense(c.hidden_size, name="transform")
+        self.transform_ln = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="transform_ln"
+        )
+        self.decoder_bias = self.param(
+            "decoder_bias", nn.initializers.zeros, (c.vocab_size,)
+        )
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask_1d,
+        token_type_ids=None,
+        labels=None,
+        teacher_outputs=None,
+        *,
+        benchmarking=False,
+        training=False,
+        rng=None,
+        output_hidden_states=False,
+    ):
+        h, _pooled, hidden_states, captures, aux_loss = self.bert(
+            input_ids, attention_mask_1d, token_type_ids, teacher_outputs,
+            benchmarking=benchmarking, training=training, rng=rng,
+            output_hidden_states=output_hidden_states,
+        )
+        t = self.transform_ln(nn.gelu(self.transform(h)))
+        # decoder tied to the input embedding matrix (HF weight tying)
+        logits = (
+            t @ self.bert.word_embeddings.embedding.T + self.decoder_bias
+        )
+        loss = None
+        if labels is not None:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            alive = labels != -100
+            safe = jnp.where(alive, labels, 0)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            loss = (nll * alive).sum() / jnp.maximum(alive.sum(), 1)
+        return {
+            "logits": logits,
+            "loss": loss,
+            "hidden_states": hidden_states,
+            "teacher_captures": captures,
+            "aux_loss": aux_loss,
+            "last_hidden_state": h,
+        }

@@ -91,6 +91,20 @@ class TrainerConfig:
     # boundary (the sync already happens there; per-step checks would
     # serialize the async dispatch pipeline)
     halt_on_divergence: bool = True
+    # parameter storage dtype ('bfloat16' halves the resident param trees;
+    # teacher is frozen so its cast is free of training-precision cost).
+    # The single-16GB-chip memory plan for opt-1.3b KD: f32 AdamW alone
+    # needs params+moments = 16 B/param = 20.8 GB — it CANNOT fit; bf16
+    # params + bf16 moments (see moment_dtype) ≈ 10.4 GB + activations do.
+    # Production multi-chip runs should prefer f32 + ZeRO sharding
+    # (parallel/mesh.opt_state_sharding) over this.
+    param_dtype: Optional[str] = None
+    # AdamW first-moment dtype (optax mu_dtype); 'bfloat16' halves mu.
+    moment_dtype: Optional[str] = None
+    # directory holding real tokenized corpora (`wikitext2_{split}.npy`);
+    # None = saves/data. See docs/REAL_DATA.md — dropping the files there
+    # routes every run onto the real corpus with zero code edits.
+    data_cache_dir: Optional[str] = None
 
 
 def _dealias(tree):
@@ -165,10 +179,30 @@ class OptTrainer:
         self.rng = jax.random.key(cfg.seed)
 
         N, T = cfg.batch_size, cfg.max_seq_len
+
+        def _cast(tree):
+            if cfg.param_dtype is None:
+                return tree
+            dt = jnp.dtype(cfg.param_dtype)
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(dt)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
         ids = jnp.ones((N, T), jnp.int32)
         mask = jnp.ones((N, T), jnp.int32)
-        self.t_vars = self.kd.teacher.init(jax.random.key(0), ids, mask)
-        s_vars = self.kd.student.init(jax.random.key(1), ids, mask)
+        # init+cast as ONE jit: f32 initializer temporaries stay transient
+        # (peak = cast tree + one f32 param), and the remote-TPU path gets
+        # one compile instead of per-initializer eager dispatches
+        self.t_vars = jax.jit(
+            lambda: _cast(self.kd.teacher.init(jax.random.key(0), ids, mask))
+        )()
+        s_vars = jax.jit(
+            lambda: _cast(self.kd.student.init(jax.random.key(1), ids, mask))
+        )()
+        self._cast_params = _cast
 
         if cfg.teacher_checkpoint:
             from ..models.llama import LlamaConfig
@@ -180,15 +214,18 @@ class OptTrainer:
                 else load_opt_params
             )
             teacher_params = load_fn(cfg.teacher_checkpoint, self.t_cfg)
-            self.t_vars = {**self.t_vars, "params": teacher_params["params"]
-                           if "params" in teacher_params else teacher_params}
+            self.t_vars = {**self.t_vars, "params": _cast(
+                teacher_params["params"]
+                if "params" in teacher_params else teacher_params)}
         self.corpus = get_corpus(
             cfg.max_seq_len, cfg.stride, "train",
             vocab_size=self.s_cfg.vocab_size,
+            cache_dir=cfg.data_cache_dir,
         )
         self.eval_corpus = get_corpus(
             cfg.max_seq_len, cfg.stride, "test",
             vocab_size=self.s_cfg.vocab_size,
+            cache_dir=cfg.data_cache_dir,
         )
         os.makedirs(cfg.save_dir, exist_ok=True)
         self.metrics_path = os.path.join(cfg.save_dir, "metrics.jsonl")
@@ -207,6 +244,7 @@ class OptTrainer:
         base_tx = make_optimizer(
             lr=cfg.lr, wd=cfg.wd,
             lr_high_scale=cfg.lr_high_scale, lr_low_scale=cfg.lr_low_scale,
+            mu_dtype=cfg.moment_dtype,
         )
         # MultiSteps allocates a full gradient-accumulation buffer; skip it
         # when accumulation is 1 (large models: saves a params-sized tensor)

@@ -56,9 +56,14 @@ def make_optimizer(
     lr_low_scale: float = 0.2,
     clip_norm: float = 1.0,
     params=None,
+    mu_dtype=None,
 ):
+    """mu_dtype: AdamW first-moment storage dtype (optax mu_dtype) — part
+    of the single-chip memory plan for 1.3b+ KD (TrainerConfig.param_dtype
+    docs); None keeps the params dtype."""
+
     def adamw(scale, decay):
-        return optax.adamw(lr * scale, weight_decay=decay)
+        return optax.adamw(lr * scale, weight_decay=decay, mu_dtype=mu_dtype)
 
     tx = optax.multi_transform(
         {
