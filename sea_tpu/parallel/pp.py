@@ -246,11 +246,16 @@ def pp_causal_lm_forward(
     benchmarking: bool = False,
     axis: str = "pp",
     dp_axis: Optional[str] = None,
+    use_remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pipeline-parallel forward of an OPT/LLaMA ForCausalLM in scan
     layout (cfg.scan_layers=True variables). Embed/finalize/logits are
     replicated (tiny next to the layer stack); the layer stack streams
-    through the pp stages. Returns (logits, aux_mean)."""
+    through the pp stages. Returns (logits, aux_mean).
+
+    use_remat: rematerialize each layer in backward (the scan_remat
+    analogue for the pipelined path — long-context training would
+    otherwise save every layer's T-sized activations per tick)."""
     layer_vars, variables = split_scan_vars(variables)
     assert layer_vars, "variables are not in scan layout (no layers_scan)"
     layer_mod = _layer_module(model)
@@ -267,6 +272,9 @@ def pp_causal_lm_forward(
             lv, h_mb, bundle_mb, benchmarking=benchmarking
         )
         return out, (aux if aux is not None else jnp.float32(0.0))
+
+    if use_remat:
+        layer_apply = jax.checkpoint(layer_apply, prevent_cse=False)
 
     h, aux = pipeline_layers(
         layer_apply,

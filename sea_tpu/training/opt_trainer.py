@@ -272,6 +272,12 @@ class OptTrainer:
                     in_shardings=(repl, repl, repl, data, data, data, repl),
                     out_shardings=(repl, repl, repl, repl),
                 )
+        # init+dealias in ONE jit: eager tx.init would materialise an
+        # aliased-zeros tree that then coexists with its dealiased copy —
+        # 2x the moment memory transiently (fatal at 1.3b+ on 16 GB)
+        def _init_opt(params):
+            return jax.jit(lambda p: _dealias(self.tx.init(p)))(params)
+
         if cfg.scan_kd:
             from .distill import SeaOptKDScan
 
@@ -283,13 +289,22 @@ class OptTrainer:
             )
             self.combined_params = combined.pop("params")
             self.combined_extra = combined
-            self.opt_state = _dealias(self.tx.init(self.combined_params))
+            # the per-layer params now live (stacked) inside combined —
+            # drop the per-model trees or both copies stay resident (at
+            # 1.3b that alone is ~5 GB and OOMs the chip); the shells
+            # (embeds/extra) are shared references, and evaluate() rebuilds
+            # s_params from combined via _sync_student_from_combined
+            self.t_vars = {
+                k: v for k, v in self.t_vars.items() if k != "params"
+            }
+            self.s_params = None
+            self.opt_state = _init_opt(self.combined_params)
             # donate params/opt-state so old and new buffers never coexist
             self._train_step = jax.jit(
                 self._train_step_scan_impl, donate_argnums=(0, 1), **jit_kw
             )
         else:
-            self.opt_state = _dealias(self.tx.init(self.s_params))
+            self.opt_state = _init_opt(self.s_params)
             self._train_step = jax.jit(
                 self._train_step_impl, donate_argnums=(0, 1), **jit_kw
             )
