@@ -46,6 +46,7 @@ def main():
         scan_kd=True,
         param_dtype="bfloat16",
         moment_dtype="bfloat16",
+        logit_chunk=256,
         log_steps=1,
         eval_steps=10 ** 9,  # no eval/checkpoint inside the proof run
         save_dir=args.save_dir,

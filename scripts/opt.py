@@ -21,9 +21,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 TUNING = {
     "opt-125m": [],
     "opt-350m": ["--scan-kd"],
+    # single-chip fit (proven on the 16 GB v5e, RESULTS.md "OPT-1.3b KD"):
+    # bf16 params + bf16 mu; multi-chip runs may drop the dtype flags and
+    # rely on dp opt-state sharding instead
     "opt-1.3b": ["--scan-kd", "--data-parallel",
+                 "--param-dtype", "bfloat16", "--moment-dtype", "bfloat16",
                  "--batch-size", "1", "--gradient-accumulation-steps", "32"],
     "opt-2.7b": ["--scan-kd", "--data-parallel",
+                 "--param-dtype", "bfloat16", "--moment-dtype", "bfloat16",
                  "--batch-size", "1", "--gradient-accumulation-steps", "32"],
     "tiny": [],
 }

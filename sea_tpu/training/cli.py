@@ -96,6 +96,12 @@ def build_parser():
     # activations/matmuls, f32 params/optimizer. None = family default.
     parser.add_argument("--compute-dtype", default=None,
                         choices=[None, "bfloat16", "float32"])
+    # single-chip memory plan for 1.3b+ (TrainerConfig.param_dtype docs):
+    # bf16 param storage / bf16 AdamW first moment
+    parser.add_argument("--param-dtype", default=None,
+                        choices=[None, "bfloat16", "float32"])
+    parser.add_argument("--moment-dtype", default=None,
+                        choices=[None, "bfloat16", "float32"])
     # failure detection / elastic recovery (training/resilience.py):
     # keep N rotating step-tagged checkpoints, auto-resume the newest
     # intact one, and retry after divergence/device failure
@@ -125,6 +131,8 @@ def build_trainer(args):
             scan_kd=args.scan_kd,
             data_parallel=args.data_parallel,
             compute_dtype=args.compute_dtype,
+            param_dtype=args.param_dtype,
+            moment_dtype=args.moment_dtype,
             checkpoint_rotation=args.checkpoint_rotation,
         )
         if args.num_steps is not None:

@@ -93,12 +93,24 @@ class SeaOptKDScan:
     are structurally zero (stop_gradient), so optimizing the whole tree
     with the teacher subtrees frozen is equivalent to the loop variant."""
 
-    def __init__(self, teacher_cfg: OptConfig, student_cfg: OptConfig):
+    def __init__(
+        self,
+        teacher_cfg: OptConfig,
+        student_cfg: OptConfig,
+        logit_chunk: Optional[int] = None,
+    ):
         import dataclasses
 
         assert teacher_cfg.attention_method == "none"
         self.t_cfg = teacher_cfg
         self.s_cfg = student_cfg
+        # chunk the logit CE/KL over the sequence axis: the unchunked form
+        # materialises four (N·T, V) f32 tensors (~1 GB at T=1024/V=50k),
+        # which is what pushed the on-chip 1.3b run from fitting at T=512
+        # to OOM at T=1024. Chunking runs finalize+logits+losses per
+        # row-chunk under lax.scan (mathematically identical sums; fp
+        # order differs ~1e-6).
+        self.logit_chunk = logit_chunk
         self.n_layers = teacher_cfg.num_layers
         t_shell = dataclasses.replace(teacher_cfg, external_layers=True)
         s_shell = dataclasses.replace(student_cfg, external_layers=True)
@@ -167,6 +179,64 @@ class SeaOptKDScan:
                 out[coll] = {**shell, "model": model}
         return out
 
+    def _chunked_logit_losses(self, t_vars, s_vars, h_t, h_s, labels):
+        """(task CE, 0.2·logit KL) computed per sequence chunk under
+        lax.scan with rematerialised per-chunk logits — only one
+        (N, chunk, V) logits pair is live at any point, forward AND
+        backward. Identical math to the unchunked form (sum
+        decomposition); the CE shift is handled by aligning labels[t+1]
+        to position t before chunking."""
+        import math as _math
+
+        C = int(self.logit_chunk)
+        N, T, E = h_s.shape
+        if T % C != 0:
+            C = _math.gcd(C, T)
+        nc = T // C
+        lab_next = jnp.concatenate(
+            [labels[:, 1:], jnp.full((N, 1), -100, labels.dtype)], axis=1
+        )
+        ht_c = jnp.swapaxes(h_t.reshape(N, nc, C, E), 0, 1)
+        hs_c = jnp.swapaxes(h_s.reshape(N, nc, C, E), 0, 1)
+        lb_c = jnp.swapaxes(lab_next.reshape(N, nc, C), 0, 1)
+
+        def chunk_losses(ht_i, hs_i, lb_i):
+            lt = jax.lax.stop_gradient(
+                self.teacher_shell.apply(
+                    t_vars, ht_i,
+                    method=lambda m, x: m.logits(m.model.finalize(x)),
+                )
+            ).astype(jnp.float32)
+            ls = self.student_shell.apply(
+                s_vars, hs_i,
+                method=lambda m, x: m.logits(m.model.finalize(x)),
+            ).astype(jnp.float32)
+            logp = jax.nn.log_softmax(ls, -1)
+            valid = lb_i != -100
+            safe = jnp.where(valid, lb_i, 0)
+            nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+            ce_sum = jnp.where(valid, nll, 0.0).sum()
+            ce_cnt = valid.sum()
+            tgt = jax.nn.softmax(lt, -1)
+            kl_sum = (tgt * (jnp.log(tgt + 1e-12) - logp)).sum()
+            return ce_sum, ce_cnt, kl_sum
+
+        chunk_losses = jax.checkpoint(chunk_losses, prevent_cse=False)
+
+        def body(carry, inp):
+            ce_sum, ce_cnt, kl_sum = carry
+            cs, cc, ks = chunk_losses(*inp)
+            return (ce_sum + cs, ce_cnt + cc, kl_sum + ks), None
+
+        (ce_sum, ce_cnt, kl_sum), _ = jax.lax.scan(
+            body,
+            (jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0)),
+            (ht_c, hs_c, lb_c),
+        )
+        task_loss = ce_sum / jnp.maximum(ce_cnt, 1)
+        loss_logit_kl = kl_sum / jnp.float32(N * T) * 0.2
+        return task_loss, loss_logit_kl
+
     def kd_loss(
         self,
         combined_vars,
@@ -210,25 +280,30 @@ class SeaOptKDScan:
         loss_hidden = (loss_hidden0 + jnp.sum(mse_stack)) / (self.n_layers + 1) * 5.0
         loss_special = jnp.mean(aux_stack)
 
-        logits_t = jax.lax.stop_gradient(
-            self.teacher_shell.apply(
-                t_shell_vars, h_t,
+        if self.logit_chunk:
+            task_loss, loss_logit_kl = self._chunked_logit_losses(
+                t_shell_vars, s_shell_vars, h_t, h_s, labels
+            )
+        else:
+            logits_t = jax.lax.stop_gradient(
+                self.teacher_shell.apply(
+                    t_shell_vars, h_t,
+                    method=lambda m, x: m.logits(m.model.finalize(x)),
+                )
+            )
+            logits_s = self.student_shell.apply(
+                s_shell_vars, h_s,
                 method=lambda m, x: m.logits(m.model.finalize(x)),
             )
-        )
-        logits_s = self.student_shell.apply(
-            s_shell_vars, h_s,
-            method=lambda m, x: m.logits(m.model.finalize(x)),
-        )
-        task_loss = cross_entropy_shifted(logits_s, labels)
-        lt = logits_t.reshape(-1, logits_t.shape[-1]).astype(jnp.float32)
-        ls = logits_s.reshape(-1, logits_s.shape[-1]).astype(jnp.float32)
-        target = jax.nn.softmax(lt, -1)
-        log_input = jax.nn.log_softmax(ls, -1)
-        loss_logit_kl = (
-            (target * (jnp.log(target + 1e-12) - log_input)).sum()
-            / lt.shape[0] * 0.2
-        )
+            task_loss = cross_entropy_shifted(logits_s, labels)
+            lt = logits_t.reshape(-1, logits_t.shape[-1]).astype(jnp.float32)
+            ls = logits_s.reshape(-1, logits_s.shape[-1]).astype(jnp.float32)
+            target = jax.nn.softmax(lt, -1)
+            log_input = jax.nn.log_softmax(ls, -1)
+            loss_logit_kl = (
+                (target * (jnp.log(target + 1e-12) - log_input)).sum()
+                / lt.shape[0] * 0.2
+            )
         if ignore_kd:
             loss = task_loss
         else:

@@ -105,6 +105,10 @@ class TrainerConfig:
     # None = saves/data. See docs/REAL_DATA.md — dropping the files there
     # routes every run onto the real corpus with zero code edits.
     data_cache_dir: Optional[str] = None
+    # chunk the logit CE/KL over the sequence axis (scan_kd only): bounds
+    # the live (N·T, V) f32 logit tensors to one (N, chunk, V) pair —
+    # part of the 1.3b+/long-T memory plan (distill.SeaOptKDScan docs)
+    logit_chunk: Optional[int] = None
 
 
 def _dealias(tree):
@@ -281,7 +285,9 @@ class OptTrainer:
         if cfg.scan_kd:
             from .distill import SeaOptKDScan
 
-            self.kds = SeaOptKDScan(self.t_cfg, self.s_cfg)
+            self.kds = SeaOptKDScan(
+                self.t_cfg, self.s_cfg, logit_chunk=cfg.logit_chunk
+            )
             s_full = dict(self.s_extra)
             s_full["params"] = self.s_params
             combined = SeaOptKDScan.combine_params(

@@ -87,3 +87,53 @@ def test_kd_loss_knobs_task_scale_and_ignore():
         rtol=1e-6,
     )
     assert float(loss_ts) > float(loss_def)
+
+
+def test_logit_chunk_matches_unchunked():
+    """Chunked logit CE/KL (the 1.3b/long-T memory plan) is mathematically
+    identical to the unchunked form: loss terms and grads match."""
+    t_cfg, s_cfg = tiny_opt("none"), tiny_opt("perlin")
+    ids, mask = make_batch(N=2, T=16, vocab=t_cfg.vocab_size)
+    labels = ids
+    plain = SeaOptKDScan(t_cfg, s_cfg)
+    chunked = SeaOptKDScan(t_cfg, s_cfg, logit_chunk=4)
+    kd = SeaOptKD(t_cfg, s_cfg)
+    t_vars = jax.jit(lambda: kd.teacher.init(jax.random.key(0), ids, mask))()
+    s_vars = jax.jit(lambda: kd.student.init(jax.random.key(1), ids, mask))()
+    comb = SeaOptKDScan.combine_params(t_vars, s_vars, t_cfg.num_layers)
+
+    def loss(kds, c):
+        return kds.kd_loss(c, ids, mask, labels)
+
+    (l0, d0), g0 = jax.jit(
+        jax.value_and_grad(lambda c: loss(plain, c), has_aux=True)
+    )(comb)
+    (l1, d1), g1 = jax.jit(
+        jax.value_and_grad(lambda c: loss(chunked, c), has_aux=True)
+    )(comb)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for k in d0:
+        np.testing.assert_allclose(
+            float(d0[k]), float(d1[k]), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+    for (p0, a), (p1, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(p0),
+        )
+
+
+def test_logit_chunk_nondivisible_T():
+    """T not divisible by logit_chunk falls back to a divisor (gcd)."""
+    t_cfg, s_cfg = tiny_opt("none"), tiny_opt("perlin")
+    ids, mask = make_batch(N=1, T=12, vocab=t_cfg.vocab_size)
+    chunked = SeaOptKDScan(t_cfg, s_cfg, logit_chunk=8)  # gcd(8,12)=4
+    kd = SeaOptKD(t_cfg, s_cfg)
+    t_vars = jax.jit(lambda: kd.teacher.init(jax.random.key(0), ids, mask))()
+    s_vars = jax.jit(lambda: kd.student.init(jax.random.key(1), ids, mask))()
+    comb = SeaOptKDScan.combine_params(t_vars, s_vars, t_cfg.num_layers)
+    loss, details = jax.jit(lambda c: chunked.kd_loss(c, ids, mask, ids))(comb)
+    assert np.isfinite(float(loss))
