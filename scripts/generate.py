@@ -25,6 +25,9 @@ def main():
     p.add_argument("--steps", type=int, default=32)
     p.add_argument("--prompt-len", type=int, default=8)
     p.add_argument("--max-len", type=int, default=128)
+    p.add_argument("--parallel-prefill", action="store_true", default=False,
+                   help="ingest the prompt with ONE batched forward "
+                        "(prefill_parallel) instead of per-token decode")
     args = p.parse_args()
 
     from sea_tpu.models.opt import OptForCausalLM, opt_125m
@@ -61,12 +64,23 @@ def main():
     )
 
     tokens = [int(t) for t in np.asarray(prompt[0])]
-    # prefill through the decode path (exercises the stateful cache)
-    logits = None
-    for t in range(args.prompt_len):
-        logits, states = step(
-            variables, prompt[:, t : t + 1], jnp.int32(t), states
-        )
+    if args.parallel_prefill:
+        # one batched forward builds the decode caches (prompt latency
+        # drops from prompt_len matvec steps to one MXU pass)
+        logits_all, states = jax.jit(
+            lambda v, pr: model.apply(
+                v, pr, args.max_len,
+                method=lambda m, p_, L: m.prefill_parallel(p_, L),
+            )
+        )(variables, prompt)
+        logits = logits_all[:, -1:, :]
+    else:
+        # prefill through the decode path (exercises the stateful cache)
+        logits = None
+        for t in range(args.prompt_len):
+            logits, states = step(
+                variables, prompt[:, t : t + 1], jnp.int32(t), states
+            )
     for i in range(args.steps):
         nxt = int(np.asarray(logits[0, -1]).argmax())
         tokens.append(nxt)

@@ -52,6 +52,7 @@ from ..ops.performer import relu_kernel_features
 from ..utils.profiler import get_bench
 from .modules import CausalConv2d, ChannelSplit, KeepRes, interpolate, upsample_nearest
 from .state import (
+    CNN_WINDOW,
     SeaDecodeState,
     cnn_window_push,
     cumavg_step,
@@ -1034,6 +1035,92 @@ class SeaAttention(nn.Module):
                 (pool_v, pool_v_scale),
             )
         return out, new_state, pool_k, pool_v
+
+    def prefill_state(
+        self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, max_len: int
+    ) -> "SeaDecodeState":
+        """Build the decode cache for a whole prompt in ONE parallel pass
+        (vs. `decode` P sequential steps — the prompt-latency path for
+        generation). Same conventions as `decode`: q pre-scaled, plain
+        q/k/v (no LoRA deltas, matching the decode path).
+
+        Every state field is an exact parallel form of the sequential
+        updates: FAVOR+ S/z are plain sums over prompt positions
+        (`causal_linear_attention(return_state=True)` — identical prefix
+        math, chunked for the MXU), the CNN window is the last 24
+        per-position dec_row outputs (dec_row is pointwise, so the batched
+        application equals the per-step one), cumavg is a sum, and K/V
+        land at positions [0, P). fp summation order differs from the
+        sequential loop (covered by the decode-vs-prefill tolerance, like
+        the reference's own cache-consistency table)."""
+        cfg = self.cfg
+        assert cfg.use_cache and cfg.causal
+        assert cfg.predictor_method == "mlp"
+        assert cfg.predictor_backend == "performer"
+        from ..ops.performer import causal_linear_attention
+
+        N, H, P, D = q.shape
+        assert P <= max_len
+
+        # stage 1: identity value rows for positions [0, P)
+        v_id = self.v_eye_learned_causal[0, 0, :P]  # (P, D)
+        v_for_atten = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    v_id[None, None].astype(v.dtype), (N, H, P, D)
+                ),
+                v,
+            ],
+            axis=-1,
+        )
+
+        # stage 2: causal FAVOR+ over the prompt, final (S, z) prefix sums
+        proj = self.performer_proj.value
+        qp = relu_kernel_features(q, proj)
+        kp = relu_kernel_features(k, proj)
+        perf_ctx, (S, z) = causal_linear_attention(
+            qp, kp, v_for_atten.astype(jnp.float32), return_state=True
+        )
+        perf_ctx = perf_ctx.astype(q.dtype)
+
+        # stage 3/4: per-position predictor rows; keep the last CNN_WINDOW
+        performer_value = jnp.concatenate([perf_ctx, v], axis=-1)
+        t_pred = nn.gelu(
+            self.enc_ln(self.enc_dense(performer_value)), approximate=False
+        )
+        rows = self.channel_split(self.dec_row(t_pred))  # (N, C, P, Wd)
+        W = rows.shape[2]
+        win_len = CNN_WINDOW
+        if W >= win_len:
+            window = rows[:, :, W - win_len :, :]
+        else:
+            window = jnp.concatenate(
+                [
+                    jnp.zeros(
+                        rows.shape[:2] + (win_len - W, rows.shape[3]),
+                        rows.dtype,
+                    ),
+                    rows,
+                ],
+                axis=2,
+            )
+        filled = jnp.asarray(min(P, win_len), jnp.int32)
+
+        k_cache = jnp.zeros((N, H, max_len, D), k.dtype).at[:, :, :P].set(k)
+        v_cache = jnp.zeros((N, H, max_len, D), v.dtype).at[:, :, :P].set(v)
+        return SeaDecodeState(
+            performer_S=S,
+            performer_z=z,
+            cnn_window=window.astype(jnp.float32)
+            if window.dtype != jnp.float32
+            else window,
+            cnn_filled=filled,
+            cumavg_sum=v.astype(jnp.float32).sum(axis=2, keepdims=True),
+            cumavg_len=jnp.asarray(P, jnp.int32),
+            k_cache=k_cache,
+            v_cache=v_cache,
+            length=jnp.asarray(P, jnp.int32),
+        )
 
     def _decode_common(self, q, k, v, state, max_len: Optional[int] = None):
         """Cache-layout-independent decode stages 1-7: identity value,

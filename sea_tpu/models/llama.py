@@ -395,6 +395,18 @@ class LlamaAttention(nn.Module):
         )
         return self.o_proj(out), new_state, pool_k, pool_v
 
+    def prefill(self, hidden_states: jnp.ndarray, bundle, max_len: int):
+        """Parallel prompt prefill (see OptAttention.prefill): one batched
+        SEA forward for the output + the decode cache built in parallel.
+        The cache stores roped, GQA-expanded keys, same as `decode`."""
+        causal_mask, cos, sin = bundle
+        q, k, v = self._qkv(hidden_states, cos, sin)
+        out = self.perlin(
+            q, k, v, q, k, v, q, k, causal_mask, benchmarking=False
+        )
+        state = self.perlin.prefill_state(q, k, v, max_len)
+        return self.o_proj(out.context_layer), state
+
 
 class LlamaDecoderLayer(nn.Module):
     """Pre-RMSNorm decoder layer (input_layernorm -> attn -> residual ->
@@ -455,6 +467,15 @@ class LlamaDecoderLayer(nn.Module):
         h = residual + h
         h = h + self.mlp(self.post_attention_layernorm(h))
         return h, new_state, pool_k, pool_v
+
+    def prefill(self, hidden_states: jnp.ndarray, bundle, max_len: int):
+        residual = hidden_states
+        h, state = self.self_attn.prefill(
+            self.input_layernorm(hidden_states), bundle, max_len
+        )
+        h = residual + h
+        h = h + self.mlp(self.post_attention_layernorm(h))
+        return h, state
 
 
 class _LlamaScanBody(nn.Module):
@@ -597,6 +618,18 @@ class LlamaForCausalLM(nn.Module):
             h, st2 = layer.decode(h, st, cos, sin)
             new_states.append(st2)
         return self.logits(self.model.finalize(h)), new_states
+
+    def prefill_parallel(self, prompt_ids: jnp.ndarray, max_len: int):
+        """One batched forward over the prompt -> (logits, decode states)
+        (see OptForCausalLM.prefill_parallel)."""
+        N, P = prompt_ids.shape
+        mask1d = jnp.ones((N, P), jnp.int32)
+        h, bundle = self.model.embed(prompt_ids, mask1d)
+        states = []
+        for layer in self.model.layers:
+            h, st = layer.prefill(h, bundle, max_len)
+            states.append(st)
+        return self.logits(self.model.finalize(h)), states
 
     def decode_step_paged(self, token_ids, position, states, pool_k, pool_v, pages):
         h = self.model.embed_tokens(token_ids)

@@ -344,6 +344,24 @@ class OptAttention(nn.Module):
         out, new_state = self.perlin.decode(q, k, v, state)
         return self.out_proj(out), new_state
 
+    def prefill(self, hidden_states: jnp.ndarray, causal_mask, max_len: int):
+        """Parallel prompt prefill: the standard SEA forward for the
+        output (one MXU-batched pass) plus the decode cache built in
+        parallel (`SeaAttention.prefill_state`) — replaces P sequential
+        `decode` steps for prompt ingestion. Plain q/k/v like `decode`
+        (the decode path carries no LoRA deltas)."""
+        c = self.cfg
+        N, T, E = hidden_states.shape
+        scaling = c.head_dim ** -0.5
+        q = self._heads(self.q_proj(hidden_states) * scaling)
+        k = self._heads(self.k_proj(hidden_states))
+        v = self._heads(self.v_proj(hidden_states))
+        out = self.perlin(
+            q, k, v, q, k, v, q, k, causal_mask, benchmarking=False
+        )
+        state = self.perlin.prefill_state(q, k, v, max_len)
+        return self.out_proj(out.context_layer), state
+
     def decode_paged(self, hidden_states, state, pool_k, pool_v, pages):
         """Paged-pool decode step (serving path): K/V live in this layer's
         page pool instead of a per-sequence contiguous cache."""
@@ -437,6 +455,27 @@ class OptDecoderLayer(nn.Module):
         if not c.do_layer_norm_before:
             h = self.final_layer_norm(h)
         return h, new_state
+
+    def prefill(self, hidden_states: jnp.ndarray, causal_mask, max_len: int):
+        """Parallel-prefill twin of `decode`: one batched pass over the
+        prompt producing (layer_out, decode_state)."""
+        c = self.cfg
+        residual = hidden_states
+        h = hidden_states
+        if c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+        h, state = self.self_attn.prefill(h, causal_mask, max_len)
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.self_attn_layer_norm(h)
+        residual = h
+        if c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        h = self.fc2(nn.relu(self.fc1(h)))
+        h = residual + h
+        if not c.do_layer_norm_before:
+            h = self.final_layer_norm(h)
+        return h, state
 
     def decode_paged(self, hidden_states, state, pool_k, pool_v, pages):
         c = self.cfg
@@ -589,6 +628,24 @@ class OptForCausalLM(nn.Module):
             for layer in self.model.layers
         ]
 
+    def prefill_parallel(self, prompt_ids: jnp.ndarray, max_len: int):
+        """Ingest the whole prompt in ONE batched forward (MXU-efficient,
+        O(P) parallel work) instead of P sequential `decode_step`s,
+        returning (logits (N, P, V), per-layer decode states positioned at
+        P). The decode-vs-prefill parity class is the same as
+        `decode_step` vs the full forward (each layer's state is built
+        from the batched forward's hidden states; fp summation order in
+        the prefix sums differs from the sequential loop)."""
+        N, P = prompt_ids.shape
+        mask1d = jnp.ones((N, P), jnp.int32)
+        h, causal_mask = self.model.embed(prompt_ids, mask1d)
+        states = []
+        for layer in self.model.layers:
+            h, st = layer.prefill(h, causal_mask, max_len)
+            states.append(st)
+        h = self.model.finalize(h)
+        return self.logits(h), states
+
     def decode_step(self, token_ids: jnp.ndarray, position: jnp.ndarray, states):
         """One autoregressive step (reference §3.4 opt_generate path).
 
@@ -636,25 +693,35 @@ class OptForCausalLM(nn.Module):
         prompt_ids: jnp.ndarray,  # (N, P)
         max_len: int,
         num_steps: int,
+        parallel_prefill: bool = False,
     ):
         """Whole generation loop on device: prefill the prompt through the
         decode cache, then lax.scan greedy steps (no per-token host round
         trips — the TPU-native answer to the reference's HF `generate`
-        python loop)."""
+        python loop).
+
+        parallel_prefill: ingest the prompt with ONE batched forward
+        (`prefill_parallel`) instead of P sequential decode steps —
+        prompt latency drops from P matvec-dominated steps to one
+        MXU-batched pass."""
         N, P = prompt_ids.shape
-        states = self.init_decode_states(N, max_len, jnp.float32)
+        if parallel_prefill:
+            logits_all, states = self.prefill_parallel(prompt_ids, max_len)
+            last_logits = logits_all[:, -1]
+        else:
+            states = self.init_decode_states(N, max_len, jnp.float32)
 
-        def prefill_body(carry, t):
-            states = carry
-            logits, states = self.decode_step(
-                jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+            def prefill_body(carry, t):
+                states = carry
+                logits, states = self.decode_step(
+                    jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+                )
+                return states, logits[:, 0]
+
+            states, prefill_logits = jax.lax.scan(
+                prefill_body, states, jnp.arange(P, dtype=jnp.int32)
             )
-            return states, logits[:, 0]
-
-        states, prefill_logits = jax.lax.scan(
-            prefill_body, states, jnp.arange(P, dtype=jnp.int32)
-        )
-        last_logits = prefill_logits[-1]  # (N, V)
+            last_logits = prefill_logits[-1]  # (N, V)
 
         def gen_body(carry, i):
             states, last_logits = carry

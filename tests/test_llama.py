@@ -394,3 +394,42 @@ def test_llama_hf_weight_mapping_roundtrip():
         ks = jax.tree_util.keystr(k)
         assert ks in got, ks
         np.testing.assert_array_equal(np.asarray(v), np.asarray(got[ks]), err_msg=ks)
+
+
+def test_llama_parallel_prefill_generation_matches_sequential():
+    """generate_greedy(parallel_prefill=True) is token-identical to the
+    sequential decode-prefill path for the LLaMA family too."""
+    import dataclasses
+
+    from sea_tpu.models.llama import LlamaForCausalLM, llama_tiny
+
+    cfg = llama_tiny("perlin")
+    cfg = dataclasses.replace(
+        cfg, sea=dataclasses.replace(cfg.sea, use_cache=True)
+    )
+    model = LlamaForCausalLM(cfg)
+    N, P, STEPS, MAXLEN = 1, 8, 6, 32
+    rng = np.random.default_rng(13)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (N, P)), jnp.int32)
+    mask = jnp.ones((N, P), jnp.int32)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
+
+    gen_seq = np.asarray(
+        jax.jit(
+            lambda v: model.apply(
+                v, ids, MAXLEN, STEPS,
+                method=lambda m, p, L, s: m.generate_greedy(p, L, s),
+            )
+        )(variables)
+    )
+    gen_par = np.asarray(
+        jax.jit(
+            lambda v: model.apply(
+                v, ids, MAXLEN, STEPS,
+                method=lambda m, p, L, s: m.generate_greedy(
+                    p, L, s, parallel_prefill=True
+                ),
+            )
+        )(variables)
+    )
+    assert (gen_seq == gen_par).all(), (gen_seq, gen_par)

@@ -143,3 +143,87 @@ def test_batched_beam_search():
         method=lambda m, p, L, s: m.generate_beam(p, L, s, beam_size=3),
     )
     np.testing.assert_array_equal(np.asarray(beams_p), np.asarray(beams)[perm])
+
+
+def test_parallel_prefill_matches_sequential():
+    """prefill_parallel (one batched forward) vs P sequential decode
+    steps: prompt logits track the full forward, the decode states agree
+    within the decode-vs-prefill tolerance class, and the greedy
+    continuations are token-identical."""
+    cfg = tiny_opt("perlin")
+    model = OptForCausalLM(cfg)
+    N, P, STEPS, MAXLEN = 1, 8, 6, 32
+    ids, mask = make_batch(N=N, T=P, vocab=cfg.vocab_size, seed=11)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
+
+    logits_par, states_par = jax.jit(
+        lambda v: model.apply(
+            v, ids, MAXLEN,
+            method=lambda m, p, L: m.prefill_parallel(p, L),
+        )
+    )(variables)
+    full = jax.jit(lambda v: model.apply(v, ids, mask)["logits"])(variables)
+    # the parallel prefill IS the standard forward: tight agreement
+    np.testing.assert_allclose(
+        np.asarray(logits_par), np.asarray(full), atol=1e-5
+    )
+
+    # sequential prefill states for comparison
+    states_seq = model.apply(
+        variables, N, MAXLEN, method=lambda m, b, L: m.init_decode_states(b, L)
+    )
+    step = jax.jit(
+        lambda v, tok, pos, sts: model.apply(
+            v, tok, pos, sts, method=lambda m, a, b, c: m.decode_step(a, b, c)
+        )
+    )
+    for t in range(P):
+        _, states_seq = step(variables, ids[:, t : t + 1], jnp.int32(t), states_seq)
+
+    for li, (sp, sq) in enumerate(zip(states_par, states_seq)):
+        assert int(sp.length) == int(sq.length) == P
+        np.testing.assert_allclose(
+            np.asarray(sp.performer_S), np.asarray(sq.performer_S),
+            atol=1e-4, err_msg=f"layer {li} performer_S",
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp.performer_z), np.asarray(sq.performer_z),
+            atol=1e-4, err_msg=f"layer {li} performer_z",
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp.k_cache), np.asarray(sq.k_cache),
+            atol=2e-2, err_msg=f"layer {li} k_cache",
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp.cumavg_sum), np.asarray(sq.cumavg_sum),
+            atol=2e-2, err_msg=f"layer {li} cumavg_sum",
+        )
+        # cnn window tail rows (filled region) agree within decode parity
+        W = sp.cnn_window.shape[2]
+        fill = min(P, W)
+        np.testing.assert_allclose(
+            np.asarray(sp.cnn_window[:, :, W - fill :]),
+            np.asarray(sq.cnn_window[:, :, W - fill :]),
+            atol=5e-2, err_msg=f"layer {li} cnn_window",
+        )
+
+    # greedy continuation: token-identical to the sequential-prefill path
+    gen_seq = np.asarray(
+        jax.jit(
+            lambda v: model.apply(
+                v, ids, MAXLEN, STEPS,
+                method=lambda m, p, L, s: m.generate_greedy(p, L, s),
+            )
+        )(variables)
+    )
+    gen_par = np.asarray(
+        jax.jit(
+            lambda v: model.apply(
+                v, ids, MAXLEN, STEPS,
+                method=lambda m, p, L, s: m.generate_greedy(
+                    p, L, s, parallel_prefill=True
+                ),
+            )
+        )(variables)
+    )
+    assert (gen_seq == gen_par).all(), (gen_seq, gen_par)
