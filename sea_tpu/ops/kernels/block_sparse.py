@@ -337,6 +337,154 @@ def _causal_kernel_flat(
         o_ref[0] = (acc_scr[:] / safe_l * scale).astype(o_ref.dtype)
 
 
+def _causal_kernel_flat_wr(
+    counts_ref,  # scalar prefetch: (NH, NQ)
+    idx_ref,  # scalar prefetch: (NH, NQ, NKB)
+    submask_ref,  # scalar prefetch: (NH, NQ, NKB) — packed word range
+    #                wlo | (whi << 8) for the tile at list slot j
+    rowbase_ref,  # scalar prefetch: (NH, NQ)
+    q_ref,  # (1, BQ, D)
+    k_ref,  # (1, BK, D)
+    v_ref,  # (1, BK, D)
+    mbits_ref,  # (1, BQ, n_words) uint32
+    scale_ref,  # (1, BQ, 128)
+    o_ref,  # (1, BQ, D)
+    m_scr,  # (BQ, 128) f32
+    l_scr,  # (BQ, 128) f32
+    acc_scr,  # (BQ, D) f32
+    ab_scr,  # (BQ, 128) f32
+    word_scr,  # (BQ, BK) u32 — mask word staging (predicated writes)
+    *,
+    t_m: int,
+    block_q: int,
+    block_k: int,
+    n_words: int,
+    oversample: float,
+    k_cfg: float,
+):
+    """'flat' with per-tile WORD-RANGE predication: the select chain over
+    the T_M//32 packed words is the largest VPU block in the flat kernel
+    (2 wide ops per word: the per-row word broadcast + the select). A
+    (BQ, BK) tile's pixels span [trunc((c0+0.5)·T_M/w_max − 1e-4),
+    trunc((c1−0.5)·T_M/w_min − 1e-4)] (monotone in c and in w, so the
+    corners bound it exactly); deep tiles span 1-2 words of the 8, and
+    `pl.when` skips the rest entirely."""
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    count = counts_ref[h, i]
+    BQ, BK = block_q, block_k
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, M_INIT)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        a0 = (1.0 / w) * jnp.float32(t_m)
+        ab_scr[:] = jnp.broadcast_to(a0, ab_scr.shape)
+
+    @pl.when(j < count)
+    def _compute():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK) f32
+
+        bk = idx_ref[h, i, j]
+        wr = submask_ref[h, i, j]
+        wlo = wr & 0xFF
+        whi = wr >> 8
+        a = ab_scr[:, 0:1]
+        b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
+        u = colio * a + b2
+        pix = u.astype(jnp.int32)
+        word_idx = pix >> 5
+        bit_idx = (pix & 31).astype(jnp.uint32)
+        word_scr[:] = jnp.zeros((BQ, BK), jnp.uint32)
+        for wi in range(n_words):
+
+            @pl.when(jnp.logical_and(wlo <= wi, wi <= whi))
+            def _select(wi=wi):
+                wcol = mbits_ref[0, :, wi][:, None]
+                word_scr[:] = jnp.where(word_idx == wi, wcol, word_scr[:])
+        word = word_scr[:]
+        alive = ((word >> bit_idx) & 1) == 1
+        if oversample != 1.0:
+            rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, 1), 0
+            )
+            w = (rows + 1).astype(jnp.float32)
+            ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
+            oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
+            thr = (1.0 / oys) * 0.5 + 1e-4
+            xs1 = colio + (bk * BK + 1).astype(jnp.float32)
+            frac = xs1 / w * ps
+            keep = jnp.abs(frac - jnp.floor(frac + 0.5)) <= thr
+            alive = alive & keep
+        s = jnp.where(alive, s, DEAD)
+
+        m_prev = m_scr[:, 0:1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        corr = jnp.exp(m_prev - m_cur)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        scale = scale_ref[0][:, 0:1].astype(jnp.float32)
+        o_ref[0] = (acc_scr[:] / safe_l * scale).astype(o_ref.dtype)
+
+
+def _tile_word_ranges(
+    counts: jnp.ndarray,  # (N, H, NQ)
+    idx: jnp.ndarray,  # (N, H, NQ, NKB) active k-block list
+    t_m: int,
+    n_words: int,
+    block_q: int,
+    block_k: int,
+    row_widths: Optional[jnp.ndarray] = None,  # (T_DST,) causal widths
+) -> jnp.ndarray:
+    """Packed per-tile word ranges wlo | (whi << 8) aligned with `idx`.
+    Corner evaluation of the kernel's exact pixel expression (monotone in
+    col and width), padded by one word each side against fp edge cases."""
+    N, H, NQ, NKB = idx.shape
+    if row_widths is None:
+        rows = jnp.arange(NQ * block_q, dtype=jnp.float32)
+        widths = rows + 1.0
+    else:
+        widths = row_widths.astype(jnp.float32)
+    w_rows = widths.reshape(NQ, block_q)
+    w_min = w_rows.min(axis=1)  # (NQ,) smallest width in the q-block
+    w_max = w_rows.max(axis=1)
+
+    c0 = (idx * block_k).astype(jnp.float32)  # (N,H,NQ,NKB)
+    c1 = c0 + float(block_k) - 1.0
+
+    def pix(c, w):
+        a = (1.0 / w) * jnp.float32(t_m)
+        return (c * a + (a * 0.5 - 1e-4)).astype(jnp.int32)
+
+    lo = pix(c0, w_max.reshape(1, 1, NQ, 1))
+    hi = pix(c1, w_min.reshape(1, 1, NQ, 1))
+    wlo = jnp.clip((lo >> 5) - 1, 0, n_words - 1)
+    whi = jnp.clip((hi >> 5) + 1, 0, n_words - 1)
+    return (wlo | (whi << 8)).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # causal kernel, 'subtile' impl: 128-wide sub-tile masking with 2-candidate
 # word select + score staging buffer (kept for block-size experiments; slower
@@ -697,6 +845,23 @@ def sea_block_sparse_attention(
                 oversample=oversample,
                 k_cfg=k_cfg,
             )
+        elif impl == "flat_wr":
+            counts, idx = tile_activity_lists(
+                mask_m, T_SRC, True, block_q, block_k, row_widths=row_widths
+            )
+            submask = _tile_word_ranges(
+                counts, idx, T_M, n_words, block_q, block_k,
+                row_widths=row_widths,
+            )
+            kernel = functools.partial(
+                _causal_kernel_flat_wr,
+                t_m=T_M,
+                block_q=block_q,
+                block_k=block_k,
+                n_words=n_words,
+                oversample=oversample,
+                k_cfg=k_cfg,
+            )
         else:
             assert impl == "flat", impl
             counts, idx = tile_activity_lists(
@@ -742,7 +907,9 @@ def sea_block_sparse_attention(
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
             ] + ([pltpu.VMEM((block_q, 128), jnp.float32)]
-                 if impl == "flat" else []),
+                 if impl in ("flat", "flat_wr") else [])
+            + ([pltpu.VMEM((block_q, block_k), jnp.uint32)]
+               if impl == "flat_wr" else []),
         )
         out = pl.pallas_call(
             kernel,

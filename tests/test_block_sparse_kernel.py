@@ -200,7 +200,7 @@ def test_kernel_nonmultiple_lengths_padded():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-@pytest.mark.parametrize("impl", ["flat", "subtile"])
+@pytest.mark.parametrize("impl", ["flat", "subtile", "flat_wr"])
 def test_kernel_impls_match_oracle(impl):
     q, k, v, mask, scaler = make_case(T=256, T_M=32, density=0.3)
     got = sea_block_sparse_attention(
