@@ -81,17 +81,28 @@ def main():
 
         return jax.jit(wrapped)
 
+    # autotune over (block shape, impl): 'flat_wr' predicates the packed-
+    # word select chain per tile (measured 3.6% faster at 512x512 in one
+    # session; the winner varies with session clock state, so take the min)
     block_candidates = (
-        [(512, 512), (1024, 512), (256, 512)] if on_tpu else [(None, None)]
+        [
+            (512, 512, "flat"),
+            (1024, 512, "flat"),
+            (256, 512, "flat"),
+            (512, 512, "flat_wr"),
+            (1024, 512, "flat_wr"),
+        ]
+        if on_tpu
+        else [(None, None, "flat")]
     )
     sparse_fns = [
         repeat(
-            lambda q, k, v, m, s, bq=bq, bk=bk: sea_block_sparse_attention(
+            lambda q, k, v, m, s, bq=bq, bk=bk, im=im: sea_block_sparse_attention(
                 q, k, v, m, s, is_causal=True, block_q=bq, block_k=bk,
-                interpret=not on_tpu,
+                impl=im, interpret=not on_tpu,
             )
         )
-        for bq, bk in block_candidates
+        for bq, bk, im in block_candidates
     ]
     noop = repeat(lambda q, *a: q)
     dense1 = repeat(

@@ -741,6 +741,7 @@ class OptForCausalLM(nn.Module):
         num_steps: int,
         beam_size: int = 4,
         length_penalty: float = 1.0,
+        parallel_prefill: bool = False,
     ):
         """On-device beam search over the SEA decode cache (serving path;
         the reference leans on HF `generate`'s beam machinery —
@@ -754,19 +755,24 @@ class OptForCausalLM(nn.Module):
         V = self.cfg.vocab_size
 
         # prefill once at batch N, then replicate states across beams
-        states = self.init_decode_states(N, max_len, jnp.float32)
+        if parallel_prefill:
+            logits_all, states = self.prefill_parallel(prompt_ids, max_len)
+            last_logits = logits_all[:, -1]
+        else:
+            states = self.init_decode_states(N, max_len, jnp.float32)
 
-        def prefill_body(carry, t):
-            states = carry
-            logits, states = self.decode_step(
-                jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+            def prefill_body(carry, t):
+                states = carry
+                logits, states = self.decode_step(
+                    jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+                )
+                return states, logits[:, 0]
+
+            states, prefill_logits = jax.lax.scan(
+                prefill_body, states, jnp.arange(P, dtype=jnp.int32)
             )
-            return states, logits[:, 0]
-
-        states, prefill_logits = jax.lax.scan(
-            prefill_body, states, jnp.arange(P, dtype=jnp.int32)
-        )
-        logp0 = jax.nn.log_softmax(prefill_logits[-1].astype(jnp.float32), -1)
+            last_logits = prefill_logits[-1]
+        logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), -1)
         top0 = jax.lax.top_k(logp0, B)  # (N, B) values, indices
         beam_logp = top0[0]  # (N, B)
         first_tok = top0[1].astype(jnp.int32)  # (N, B)

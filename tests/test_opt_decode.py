@@ -227,3 +227,30 @@ def test_parallel_prefill_matches_sequential():
         )(variables)
     )
     assert (gen_seq == gen_par).all(), (gen_seq, gen_par)
+
+
+def test_beam_parallel_prefill_matches_sequential():
+    cfg = tiny_opt("perlin")
+    model = OptForCausalLM(cfg)
+    ids, _ = make_batch(N=1, T=8, vocab=cfg.vocab_size, seed=17)
+    variables = jax.jit(
+        lambda: model.init(jax.random.key(0), ids, jnp.ones_like(ids))
+    )()
+    t_seq, s_seq = jax.jit(
+        lambda v: model.apply(
+            v, ids, 32, 5,
+            method=lambda m, p, L, s: m.generate_beam(p, L, s, beam_size=3),
+        )
+    )(variables)
+    t_par, s_par = jax.jit(
+        lambda v: model.apply(
+            v, ids, 32, 5,
+            method=lambda m, p, L, s: m.generate_beam(
+                p, L, s, beam_size=3, parallel_prefill=True
+            ),
+        )
+    )(variables)
+    assert (np.asarray(t_seq) == np.asarray(t_par)).all()
+    np.testing.assert_allclose(
+        np.asarray(s_seq), np.asarray(s_par), atol=1e-4
+    )
