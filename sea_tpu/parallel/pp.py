@@ -209,6 +209,156 @@ def pipeline_layers(
     return tmap(lambda o: o.reshape(N, *o.shape[2:]), outs), aux
 
 
+def pipeline_layers_interleaved(
+    layer_apply,
+    layer_vars,
+    h: jnp.ndarray,
+    bundle,
+    *,
+    mesh: Mesh,
+    num_microbatches: int,
+    num_chunks: int,  # V: layer chunks per stage (interleave factor)
+    axis: str = "pp",
+    dp_axis: Optional[str] = None,
+):
+    """Interleaved ("looped") pipeline: each stage holds V non-contiguous
+    layer chunks (stage s owns global chunks s, s+S, ..., s+(V-1)S), so
+    the warm-up/drain bubble shrinks from GPipe's (S-1)/(M+S-1) of the
+    run to (S-1)/(V·M+S-1) — the Megatron interleaved-schedule idea,
+    expressed as one lax.scan + ppermute ring.
+
+    Conflict-free schedule (derived for this scan form): at tick t, stage
+    s processes microbatch m = (t-s) mod M of its local chunk
+    d = (t-s) div M — exactly one unit of work per stage per tick, chunk
+    boundaries ride the same one-hop ppermute ring as GPipe (chunk c is
+    on stage c mod S; c+1 on (c+1) mod S), and the V-wrap (stage S-1 ->
+    stage 0, consumed M-S+1 ticks later) is absorbed by a per-stage
+    (M, ...) pending ring buffer: the value received at tick t is written
+    to slot (t+1-s) mod M, which is exactly the slot tick t+1 reads.
+    Requires M >= S and num_layers % (S·V) == 0.
+
+    Same contract as `pipeline_layers` (array h, scalar/array aux);
+    returns (h_out, aux_mean)."""
+    S = mesh.shape[axis]
+    M = num_microbatches
+    V = num_chunks
+    assert M >= S, f"interleaved schedule needs M >= S (got M={M}, S={S})"
+    tmap = jax.tree_util.tree_map
+    N = h.shape[0]
+    num_layers = jax.tree_util.tree_leaves(layer_vars)[0].shape[0]
+    assert num_layers % (S * V) == 0, (num_layers, S, V)
+    LC = num_layers // (S * V)  # layers per chunk
+
+    # (L, ...) -> (V, S, LC, ...): global chunk c = d*S + s holds layers
+    # [c*LC, (c+1)*LC); dim 1 shards over the pp axis
+    def to_chunks(x):
+        return x.reshape(V, S, LC, *x.shape[1:])
+
+    chunked_vars = tmap(to_chunks, layer_vars)
+    h_m = _micro_reshape(h, M)
+    bundle_m = tmap(
+        lambda b: _micro_reshape(b, M)
+        if hasattr(b, "ndim") and b.ndim >= 1 and b.shape[0] == N
+        else b,
+        bundle,
+    )
+    is_micro = tmap(
+        lambda b: hasattr(b, "ndim") and b.ndim >= 1 and b.shape[0] == N, bundle
+    )
+
+    mb_spec = P(None, dp_axis) if dp_axis is not None else P()
+
+    def bundle_spec(micro):
+        return mb_spec if micro else P()
+
+    in_specs = (
+        tmap(lambda _: P(None, axis), chunked_vars),
+        mb_spec,
+        tmap(bundle_spec, is_micro),
+    )
+    out_specs = (mb_spec, P())
+
+    total_ticks = V * M + S - 1
+
+    def stage_fn(lv, hm, bm):
+        stage = lax.axis_index(axis)
+        lv = tmap(lambda x: x[:, 0], lv)  # (V, LC, ...) local chunks
+
+        def slice_bundle(m):
+            return tmap(
+                lambda b, micro: lax.dynamic_index_in_dim(
+                    b, m, 0, keepdims=False
+                )
+                if micro
+                else b,
+                bm,
+                is_micro,
+            )
+
+        def run_chunk(d, x, bundle_t):
+            chunk = tmap(
+                lambda p: lax.dynamic_index_in_dim(p, d, 0, keepdims=False),
+                lv,
+            )
+
+            def body(c, p):
+                y, aux = layer_apply(p, c, bundle_t)
+                return y, aux
+
+            y, auxs = lax.scan(body, x, chunk)
+            return y, jnp.sum(auxs, axis=0)
+
+        aux_shape = jax.eval_shape(
+            lambda x, b: run_chunk(0, x, b)[1], hm[0], slice_bundle(0)
+        ).shape
+
+        def tick(carry, t):
+            pend, aux_total = carry
+            rel = t - stage
+            m = jnp.clip(rel, 0, None) % M
+            d = jnp.clip(rel, 0, None) // M
+            valid = jnp.logical_and(rel >= 0, d < V)
+            d_c = jnp.clip(d, 0, V - 1)
+            inject = lax.dynamic_index_in_dim(hm, m, 0, keepdims=False)
+            buffered = lax.dynamic_index_in_dim(pend, m, 0, keepdims=False)
+            first = jnp.logical_and(stage == 0, d_c == 0)
+            x = jnp.where(first, inject, buffered)
+            y, aux = run_chunk(d_c, x, slice_bundle(m))
+            aux_total = aux_total + jnp.where(valid, aux, 0.0)
+            recv = lax.ppermute(y, axis, [(i, (i + 1) % S) for i in range(S)])
+            # slot = the SENDER's microbatch id (t - sender_stage) mod M:
+            # non-wrap hops read it next tick; the V-wrap (stage S-1 ->
+            # stage 0) reads it M-S+1 ticks later — same slot either way
+            sender = (stage - 1) % S
+            slot = jnp.clip(t - sender, 0, None) % M
+            pend = lax.dynamic_update_index_in_dim(pend, recv, slot, 0)
+            return (pend, aux_total), y
+
+        pend0 = jnp.zeros_like(hm)
+        aux0 = jnp.zeros(aux_shape, jnp.float32)
+        (_, aux_total), ys = lax.scan(
+            tick, (pend0, aux0), jnp.arange(total_ticks)
+        )
+        # microbatch m's final output leaves stage S-1 at tick
+        # (V-1)M + S-1 + m — the last M ticks, in microbatch order
+        outs = ys[total_ticks - M :]
+        outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
+        outs = lax.psum(outs, axis)
+        aux = lax.psum(aux_total, axis) / jnp.float32(num_layers * M)
+        if dp_axis is not None:
+            aux = lax.pmean(aux, dp_axis)
+        return outs, aux
+
+    outs, aux = shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )(chunked_vars, h_m, bundle_m)
+    return outs.reshape(N, *outs.shape[2:]), aux
+
+
 def split_scan_vars(variables) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Split scan-layout variables into (layer stacks, the rest).
 
@@ -247,6 +397,7 @@ def pp_causal_lm_forward(
     axis: str = "pp",
     dp_axis: Optional[str] = None,
     use_remat: bool = False,
+    interleave: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pipeline-parallel forward of an OPT/LLaMA ForCausalLM in scan
     layout (cfg.scan_layers=True variables). Embed/finalize/logits are
@@ -255,7 +406,11 @@ def pp_causal_lm_forward(
 
     use_remat: rematerialize each layer in backward (the scan_remat
     analogue for the pipelined path — long-context training would
-    otherwise save every layer's T-sized activations per tick)."""
+    otherwise save every layer's T-sized activations per tick).
+    interleave: >1 runs the looped/interleaved schedule
+    (`pipeline_layers_interleaved`) with that many layer chunks per
+    stage — bubble (S-1)/(interleave·M+S-1) instead of GPipe's
+    (S-1)/(M+S-1); needs num_microbatches >= pp size."""
     layer_vars, variables = split_scan_vars(variables)
     assert layer_vars, "variables are not in scan layout (no layers_scan)"
     layer_mod = _layer_module(model)
@@ -276,16 +431,29 @@ def pp_causal_lm_forward(
     if use_remat:
         layer_apply = jax.checkpoint(layer_apply, prevent_cse=False)
 
-    h, aux = pipeline_layers(
-        layer_apply,
-        layer_vars,
-        h,
-        bundle,
-        mesh=mesh,
-        num_microbatches=num_microbatches,
-        axis=axis,
-        dp_axis=dp_axis,
-    )
+    if interleave > 1:
+        h, aux = pipeline_layers_interleaved(
+            layer_apply,
+            layer_vars,
+            h,
+            bundle,
+            mesh=mesh,
+            num_microbatches=num_microbatches,
+            num_chunks=interleave,
+            axis=axis,
+            dp_axis=dp_axis,
+        )
+    else:
+        h, aux = pipeline_layers(
+            layer_apply,
+            layer_vars,
+            h,
+            bundle,
+            mesh=mesh,
+            num_microbatches=num_microbatches,
+            axis=axis,
+            dp_axis=dp_axis,
+        )
 
     h = model.apply(variables, h, method=lambda m, x: m.model.finalize(x))
     logits = model.apply(variables, h, method=lambda m, x: m.logits(x))
