@@ -401,8 +401,13 @@ class LlamaAttention(nn.Module):
         The cache stores roped, GQA-expanded keys, same as `decode`."""
         causal_mask, cos, sin = bundle
         q, k, v = self._qkv(hidden_states, cos, sin)
+        # fused benchmark path for the prefill outputs: same mask
+        # semantics as the train path (<=2e-4, tests/test_fused_path.py)
+        # and O(T*k) instead of the dense O(T^2) resize — the speedup
+        # grows with prompt length
         out = self.perlin(
-            q, k, v, q, k, v, q, k, causal_mask, benchmarking=False
+            q, k, v, q, k, v, q, k, causal_mask,
+            benchmarking=self.cfg.sea.use_pallas
         )
         state = self.perlin.prefill_state(q, k, v, max_len)
         return self.o_proj(out.context_layer), state

@@ -356,8 +356,13 @@ class OptAttention(nn.Module):
         q = self._heads(self.q_proj(hidden_states) * scaling)
         k = self._heads(self.k_proj(hidden_states))
         v = self._heads(self.v_proj(hidden_states))
+        # fused benchmark path for the prefill outputs: same mask
+        # semantics as the train path (<=2e-4, tests/test_fused_path.py)
+        # and O(T*k) instead of the dense O(T^2) resize — the speedup
+        # grows with prompt length
         out = self.perlin(
-            q, k, v, q, k, v, q, k, causal_mask, benchmarking=False
+            q, k, v, q, k, v, q, k, causal_mask,
+            benchmarking=self.cfg.sea.use_pallas
         )
         state = self.perlin.prefill_state(q, k, v, max_len)
         return self.out_proj(out.context_layer), state
