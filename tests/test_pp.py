@@ -347,3 +347,39 @@ def test_pp_llama_forward():
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(out_loop), atol=3e-5
     )
+
+
+def test_pp_kd_27b_geometry_graph_builds():
+    """The multi-chip plan for opt-2.7b KD (which CANNOT fit one 16 GB
+    chip even in bf16: 2x2.7B params + moments ~21.6 GB): pp4-sharded
+    pp_kd_loss traces at full geometry under eval_shape (no FLOPs/memory)
+    — the graph the driver would run on a real pod slice."""
+    import dataclasses as dc
+
+    from sea_tpu.models.opt import OptForCausalLM, opt_2_7b
+    from sea_tpu.parallel.pp import pp_kd_loss
+
+    t_cfg = dc.replace(opt_2_7b("none"), scan_layers=True)
+    s_cfg = dc.replace(opt_2_7b("perlin"), scan_layers=True)
+    m_t, m_s = OptForCausalLM(t_cfg), OptForCausalLM(s_cfg)
+    N, T = 1, 256
+    ids = jnp.ones((N, T), jnp.int32)
+    mask = jnp.ones((N, T), jnp.int32)
+    mesh = make_pp_mesh(dp=1, pp=4, devices=jax.devices()[:4])
+
+    t_shapes = jax.eval_shape(lambda: m_t.init(jax.random.key(0), ids, mask))
+    s_shapes = jax.eval_shape(lambda: m_s.init(jax.random.key(1), ids, mask))
+
+    def loss(tv, sv):
+        return pp_kd_loss(
+            m_t, m_s, tv, sv, ids, mask, ids,
+            mesh=mesh, num_microbatches=1,
+        )[0]
+
+    out = jax.eval_shape(loss, t_shapes, s_shapes)
+    assert out.shape == ()
+    n_params = sum(
+        int(np.prod(s.shape))
+        for s in jax.tree_util.tree_leaves(s_shapes["params"])
+    )
+    assert 2.2e9 < n_params < 3.6e9, n_params
