@@ -17,6 +17,14 @@ adds the cross-layer axis, TPU-style:
     S-1; the classic GPipe bubble is (S-1)/(M+S-1) of the ticks.
   * Everything is differentiable (`ppermute`/`scan` have transposes), so
     the same function serves benchmark forward and task-loss training.
+  * Schedules: plain GPipe (`pipeline_layers`, bubble (S-1)/(M+S-1)) and
+    the interleaved/looped schedule (`pipeline_layers_interleaved`, V
+    chunks per stage, bubble (S-1)/(V·M+S-1)). True 1F1B is a
+    *backward*-interleaving schedule; under JAX the backward program is
+    produced by AD, so its per-microbatch staging cannot be hand-ordered
+    — the interleaved forward captures 1F1B's bubble reduction, and
+    1F1B's other benefit (activation memory) is covered by per-layer
+    remat (`use_remat`) instead.
 
 Works for both model families: OPT (`models/opt.py`) and LLaMA
 (`models/llama.py`) expose identical `embed / layer(h, bundle) /
