@@ -118,7 +118,9 @@ def attention_method_sweep(
     return results
 
 
-def scaling_sweep(device_counts: Optional[List[int]] = None) -> List[Dict]:
+def scaling_sweep(
+    device_counts: Optional[List[int]] = None, kind: str = "seq"
+) -> List[Dict]:
     """Sparse BENCHMARK forward (zigzag shard_map fused kernel) on 1..n
     sequence-parallel meshes — the harness behind the >=70% 1->N scaling
     target (BASELINE.json #3). On the virtual CPU mesh this validates the
@@ -169,7 +171,7 @@ def scaling_sweep(device_counts: Optional[List[int]] = None) -> List[Dict]:
         if n > n_avail or T // n < 128:
             continue
         mesh = make_mesh(dp=1, sp=n, devices=jax.devices()[:n])
-        with sharded_attention_scope(mesh, axis="sp", kind="seq"):
+        with sharded_attention_scope(mesh, axis="sp", kind=kind):
             f = jax.jit(lambda p, q, m: fwd(p, q, m)[0])
             dt = timeit(f, params, q, causal, iters=5)
         tput = nnz / dt
@@ -179,7 +181,7 @@ def scaling_sweep(device_counts: Optional[List[int]] = None) -> List[Dict]:
         results.append(
             {
                 "devices": n,
-                "mesh": f"sp{n} (zigzag fused kernel)",
+                "mesh": f"sp{n} ({kind} fused kernel)",
                 "ms": round(dt * 1e3, 3),
                 "nnz_per_s": float(f"{tput:.4g}"),
                 "scaling_eff": round(eff, 3),
