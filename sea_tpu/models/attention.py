@@ -603,15 +603,29 @@ class SeaAttention(nn.Module):
                         else jnp.ones((N, H, T_DST), q.dtype)
                     )
                     if shard_ctx is not None:
-                        # sequence/head-sharded DIFFERENTIABLE kernel:
-                        # long-context training scales past one chip
-                        # (VERDICT r2 #2)
+                        # sequence/head/ring-sharded DIFFERENTIABLE
+                        # kernel: long-context training scales past one
+                        # chip (VERDICT r2 #2); 'ring' keeps K/V and
+                        # dk/dv sequence-sharded (per-chip O(T/shards))
                         from ..parallel.sharded_attention import (
                             head_sharded_fused_train,
+                            ring_fused_train_attention,
                             sharded_fused_train_attention,
                         )
 
-                        if shard_ctx.kind == "head":
+                        if shard_ctx.kind == "ring":
+                            partial_context_layer = (
+                                ring_fused_train_attention(
+                                    q_kern, k_for_score, v, mask_bin,
+                                    scaler_arr,
+                                    shard_ctx.mesh, shard_ctx.axis,
+                                    shard_ctx.zigzag,
+                                    shard_ctx.block_q or 128,
+                                    shard_ctx.block_k or 128,
+                                    interp,
+                                )
+                            )
+                        elif shard_ctx.kind == "head":
                             partial_context_layer = head_sharded_fused_train(
                                 q_kern, k_for_score, v, mask_bin, scaler_arr,
                                 shard_ctx.mesh, axis=shard_ctx.axis,

@@ -1489,6 +1489,214 @@ def fwd_stats_window(
     return o, lse[:, :, 0]
 
 
+def _causal_kernel_dq_cb(
+    counts_ref, idx_ref, submask_ref, rowbase_ref, cb_ref, *rest, **kw
+):
+    """dq kernel with the column-window prefetch operand (cb_ref consumed
+    only by the k/v BlockSpec index maps; idx carries GLOBAL block ids)."""
+    return _causal_kernel_dq(
+        counts_ref, idx_ref, submask_ref, rowbase_ref, *rest, **kw
+    )
+
+
+def _causal_kernel_dkv_win(
+    counts_ref, idx_ref, submask_ref, rowbase_ref, cb_ref,
+    q_ref, k_ref, v_ref, mbits_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, t_m, block_q, block_k, n_words,
+):
+    """dk/dv for ONE K/V window: grid (NH, NKW, NQl) with jk local to the
+    window — the pixel math uses the GLOBAL k-block id jk + cb_ref[0]."""
+    h = pl.program_id(0)
+    jk = pl.program_id(1)
+    iq = pl.program_id(2)
+    count = counts_ref[h, jk]
+    BQ, BK = block_q, block_k
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(iq < count)
+    def _compute():
+        qb = idx_ref[h, jk, iq]
+        s = _alive_scores(
+            q_ref[0], k_ref[0], rowbase_ref[h, qb],
+            (jk + cb_ref[0]) * BK, t_m, n_words,
+            mbits_ref, BQ, BK,
+        )
+        p = jnp.exp(s - lse_ref[0][:, 0:1])
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0][:, 0:1])
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == pl.num_programs(2) - 1)
+    def _epilogue():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def dq_window(
+    q, k_win, v_win, mbits, dou, lse, delta,
+    counts, idx_global, rowbase, col_block_base,
+    *, t_m, block_q, block_k, interpret=False,
+):
+    """dq contribution of ONE K/V window (flash-recompute). lse/delta are
+    per-LOCAL-row totals over ALL columns (the merged ring statistics), so
+    summing window contributions reproduces the full backward exactly."""
+    N, H, T_DST, D = q.shape
+    CH = k_win.shape[2]
+    n_words = mbits.shape[-1]
+    NH, NQ, NKW = N * H, T_DST // block_q, CH // block_k
+    qf = q.reshape(NH, T_DST, D)
+    kf = k_win.reshape(NH, CH, D)
+    vf = v_win.reshape(NH, CH, D)
+    douf = dou.reshape(NH, T_DST, D)
+    lsef = jnp.broadcast_to(
+        lse.reshape(NH, T_DST, 1), (NH, T_DST, 128)
+    ).astype(jnp.float32)
+    deltaf = jnp.broadcast_to(
+        delta.reshape(NH, T_DST, 1), (NH, T_DST, 128)
+    ).astype(jnp.float32)
+    submask = jnp.zeros_like(idx_global)
+    kernel = functools.partial(
+        _causal_kernel_dq_cb, t_m=t_m, block_q=block_q, block_k=block_k,
+        n_words=n_words,
+    )
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(NH, NQ, NKW),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, i, j, c, x, sm, rb, cb:
+                         (h, x[h, i, j] - cb[0], 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, i, j, c, x, sm, rb, cb:
+                         (h, x[h, i, j] - cb[0], 0)),
+            pl.BlockSpec((1, block_q, n_words),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, D), lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    dq = pl.pallas_call(
+        kernel,
+        grid_spec=spec,
+        out_shape=jax.ShapeDtypeStruct((NH, T_DST, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(counts, idx_global, submask, rowbase,
+      col_block_base.astype(jnp.int32), qf, kf, vf, mbits, douf, lsef,
+      deltaf)
+    return dq.reshape(N, H, T_DST, D)
+
+
+def dkv_window(
+    q, k_win, v_win, mbits, dou, lse, delta,
+    countsT, idxT_local, rowbase, col_block_base,
+    *, t_m, block_q, block_k, interpret=False,
+):
+    """dk/dv partials of ONE window from the LOCAL query rows.
+    countsT/idxT_local: per window k-block, the list of LOCAL q-block ids
+    active for it (transposed activity restricted to the window)."""
+    N, H, T_DST, D = q.shape
+    CH = k_win.shape[2]
+    n_words = mbits.shape[-1]
+    NH, NQ, NKW = N * H, T_DST // block_q, CH // block_k
+    qf = q.reshape(NH, T_DST, D)
+    kf = k_win.reshape(NH, CH, D)
+    vf = v_win.reshape(NH, CH, D)
+    douf = dou.reshape(NH, T_DST, D)
+    lsef = jnp.broadcast_to(
+        lse.reshape(NH, T_DST, 1), (NH, T_DST, 128)
+    ).astype(jnp.float32)
+    deltaf = jnp.broadcast_to(
+        delta.reshape(NH, T_DST, 1), (NH, T_DST, 128)
+    ).astype(jnp.float32)
+    submask = jnp.zeros_like(idxT_local)
+    kernel = functools.partial(
+        _causal_kernel_dkv_win, t_m=t_m, block_q=block_q, block_k=block_k,
+        n_words=n_words,
+    )
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(NH, NKW, NQ),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+            pl.BlockSpec((1, block_q, n_words),
+                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         (h, x[h, jk, iq], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NH, CH, D), q.dtype),
+            jax.ShapeDtypeStruct((NH, CH, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(countsT, idxT_local, submask, rowbase,
+      col_block_base.astype(jnp.int32), qf, kf, vf, mbits, douf, lsef,
+      deltaf)
+    return dk.reshape(N, H, CH, D), dv.reshape(N, H, CH, D)
+
+
 def _diff_core(q, k, v, mask_m, scaler, row_base, block_q, block_k, interpret):
     o, lse = _fwd_with_stats(
         q, k, v, mask_m, scaler, block_q, block_k, interpret, row_base

@@ -20,6 +20,7 @@ row permutation (cheap: rows are independent).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -421,6 +422,276 @@ def ring_sea_attention(
     if inv is not None:
         out = out[:, :, inv]
     return out
+
+
+def _ring_shared_prep(mask_l, rows_l, T, T_M, block_q, block_k):
+    """Per-shard prep reused by the ring fwd and bwd shard_maps."""
+    from ..ops.kernels.block_sparse import (
+        _causal_activity,
+        pack_compressed_bits,
+    )
+
+    N, H, TL, _ = mask_l.shape
+    NH = N * H
+    n_words = (T_M + 31) // 32
+    row_base = rows_l[0, 0, ::block_q]
+    rowbase = jnp.broadcast_to(
+        row_base[None, :], (NH, TL // block_q)
+    ).astype(jnp.int32)
+    row_widths = (rows_l[0, 0] + 1).astype(jnp.float32)
+    act = _causal_activity(
+        mask_l, T, block_q, block_k, row_widths=row_widths
+    ).reshape(NH, TL // block_q, T // block_k)
+    mbits = pack_compressed_bits(mask_l).reshape(NH, TL, n_words)
+    return rowbase, act, mbits
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def ring_fused_train_attention(
+    q, k, v, mask_m, row_scaler,
+    mesh, axis: str = "sp", zigzag: bool = True,
+    block_q: int = 128, block_k: int = 128, interpret: bool = False,
+):
+    """DIFFERENTIABLE ring attention: K/V (and dk/dv) stay sequence-
+    sharded — per-chip K/V memory O(T/shards) in forward AND backward,
+    the strongest form of the north-star's "K/V exchange over ICI
+    overlapped with compute" for long-context TRAINING.
+
+    Forward: as `ring_sea_attention` (per-window flash partials merged by
+    logaddexp), additionally materialising the per-row total logsumexp
+    for the backward. Backward: (k, v, dk_acc, dv_acc) rotate the ring
+    together; each step the resident chunk picks up dk/dv partials from
+    this shard's local query rows (`dkv_window`) and the local dq
+    accumulates `dq_window` — after S hops every chunk is home with all
+    contributions. q/mask/scaler shard by rows (zigzag); mask gets a zero
+    cotangent."""
+    out, _ = _ring_train_fwd_impl(
+        q, k, v, mask_m, row_scaler,
+        mesh, axis, zigzag, block_q, block_k, interpret,
+    )
+    return out
+
+
+def _ring_train_fwd_impl(
+    q, k, v, mask_m, row_scaler,
+    mesh, axis, zigzag, block_q, block_k, interpret,
+):
+    from ..ops.kernels.block_sparse import _compact_lists, fwd_stats_window
+
+    N, H, T, D = q.shape
+    n_shards = mesh.shape[axis]
+    assert T % n_shards == 0
+    TL = T // n_shards
+    block_q = min(block_q, TL)
+    block_k = min(block_k, TL)
+    assert TL % block_q == 0 and TL % block_k == 0
+    T_M = mask_m.shape[-1]
+    NKW = TL // block_k
+
+    if zigzag and n_shards > 1:
+        perm = _zigzag_perm(T, n_shards, block_q)
+        inv = jnp.argsort(perm)
+        qp_, maskp, scalerp = (
+            q[:, :, perm], mask_m[:, :, perm], row_scaler[:, :, perm]
+        )
+        rows = perm
+    else:
+        inv = None
+        qp_, maskp, scalerp = q, mask_m, row_scaler
+        rows = jnp.arange(T, dtype=jnp.int32)
+    rows_b = jnp.broadcast_to(rows[None, None, :], (N, H, T))
+
+    seq_spec = P(None, None, axis, None)
+    in_specs = (
+        seq_spec, seq_spec, seq_spec, seq_spec,
+        P(None, None, axis), P(None, None, axis),
+    )
+
+    def shard_fn(q_l, k_l, v_l, mask_l, scaler_l, rows_l):
+        me = jax.lax.axis_index(axis)
+        NH = N * H
+        rowbase, act, mbits = _ring_shared_prep(
+            mask_l, rows_l, T, T_M, block_q, block_k
+        )
+        qf = q_l.reshape(N, H, TL, D)
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def step(carry, s):
+            k_cur, v_cur, L, acc = carry
+            chunk_id = (me - s) % n_shards
+            w0 = chunk_id * NKW
+            act_win = jax.lax.dynamic_slice_in_dim(act, w0, NKW, axis=-1)
+            counts, idx = _compact_lists(act_win[:, None])
+            counts, idx = counts[:, 0], idx[:, 0] + w0
+            o_s, lse_s = fwd_stats_window(
+                qf, k_cur, v_cur, mbits, counts, idx, rowbase,
+                jnp.reshape(w0, (1,)).astype(jnp.int32),
+                t_m=T_M, block_q=block_q, block_k=block_k,
+                interpret=interpret,
+            )
+            lse_m = jnp.where(jnp.isposinf(lse_s), -jnp.inf, lse_s)
+            L_new = jnp.logaddexp(L, lse_m)
+            w_old = jnp.where(
+                jnp.isneginf(L), 0.0, jnp.exp(L - L_new)
+            )[..., None]
+            w_s = jnp.where(
+                jnp.isneginf(lse_m), 0.0, jnp.exp(lse_m - L_new)
+            )[..., None]
+            acc = acc * w_old + o_s.astype(jnp.float32) * w_s
+            k_nxt = jax.lax.ppermute(k_cur, axis, fwd)
+            v_nxt = jax.lax.ppermute(v_cur, axis, fwd)
+            return (k_nxt, v_nxt, L_new, acc), None
+
+        L0 = jnp.full((NH, TL), -jnp.inf, jnp.float32)
+        acc0 = jnp.zeros((NH, TL, D), jnp.float32)
+        (_, _, L, acc), _ = jax.lax.scan(
+            step, (k_l, v_l, L0, acc0), jnp.arange(n_shards)
+        )
+        out = acc.reshape(N, H, TL, D) * scaler_l[..., None].astype(
+            jnp.float32
+        )
+        return out.astype(q_l.dtype), L.reshape(N, H, TL)
+
+    out, L = shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(None, None, axis, None), P(None, None, axis)),
+        check_vma=False,
+    )(qp_, k, v, maskp, scalerp, rows_b)
+    if inv is not None:
+        out = out[:, :, inv]
+        L = L[:, :, inv]
+    return out, L
+
+
+def _ring_train_fwd(
+    q, k, v, mask_m, row_scaler,
+    mesh, axis, zigzag, block_q, block_k, interpret,
+):
+    out, L = _ring_train_fwd_impl(
+        q, k, v, mask_m, row_scaler,
+        mesh, axis, zigzag, block_q, block_k, interpret,
+    )
+    return out, (q, k, v, mask_m, row_scaler, out, L)
+
+
+def _ring_train_bwd(
+    mesh, axis, zigzag, block_q, block_k, interpret, res, do
+):
+    from ..ops.kernels.block_sparse import (
+        _compact_lists,
+        dkv_window,
+        dq_window,
+    )
+
+    q, k, v, mask_m, scaler, out, L = res
+    N, H, T, D = q.shape
+    n_shards = mesh.shape[axis]
+    TL = T // n_shards
+    block_q = min(block_q, TL)
+    block_k = min(block_k, TL)
+    T_M = mask_m.shape[-1]
+    NKW = TL // block_k
+
+    # row-local scaler/delta math (as _fused_bwd)
+    do_f = do.astype(jnp.float32)
+    o_f = out.astype(jnp.float32)
+    scale_f = scaler.astype(jnp.float32)[..., None]
+    safe_scale = jnp.where(scale_f != 0, scale_f, 1.0)
+    o_unscaled = o_f / safe_scale
+    dscaler = jnp.sum(do_f * o_unscaled, axis=-1).astype(scaler.dtype)
+    dou = (do_f * scale_f).astype(q.dtype)
+    delta = jnp.sum(dou.astype(jnp.float32) * o_unscaled, axis=-1)
+    # ring merge uses -inf for all-dead rows; the backward's
+    # exp(s - lse) -> 0 convention needs +inf there
+    L_b = jnp.where(jnp.isneginf(L), jnp.inf, L)
+
+    if zigzag and n_shards > 1:
+        perm = _zigzag_perm(T, n_shards, block_q)
+        inv = jnp.argsort(perm)
+        qp_ = q[:, :, perm]
+        maskp = mask_m[:, :, perm]
+        doup = dou[:, :, perm]
+        Lp = L_b[:, :, perm]
+        deltap = delta[:, :, perm]
+        rows = perm
+    else:
+        inv = None
+        qp_, maskp, doup, Lp, deltap = q, mask_m, dou, L_b, delta
+        rows = jnp.arange(T, dtype=jnp.int32)
+    rows_b = jnp.broadcast_to(rows[None, None, :], (N, H, T))
+
+    seq_spec = P(None, None, axis, None)
+    row_spec = P(None, None, axis)
+    in_specs = (
+        seq_spec, seq_spec, seq_spec, seq_spec,
+        seq_spec, row_spec, row_spec, row_spec,
+    )
+
+    def shard_fn(q_l, k_l, v_l, mask_l, dou_l, L_l, delta_l, rows_l):
+        me = jax.lax.axis_index(axis)
+        NH = N * H
+        rowbase, act, mbits = _ring_shared_prep(
+            mask_l, rows_l, T, T_M, block_q, block_k
+        )
+        qf = q_l.reshape(N, H, TL, D)
+        douf = dou_l.reshape(N, H, TL, D)
+        Lf = L_l.reshape(NH, TL)
+        deltaf = delta_l.reshape(NH, TL)
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def step(carry, s):
+            k_cur, v_cur, dk_acc, dv_acc, dq_acc = carry
+            chunk_id = (me - s) % n_shards
+            w0 = chunk_id * NKW
+            act_win = jax.lax.dynamic_slice_in_dim(act, w0, NKW, axis=-1)
+            counts, idx = _compact_lists(act_win[:, None])
+            counts, idx = counts[:, 0], idx[:, 0] + w0
+            cb = jnp.reshape(w0, (1,)).astype(jnp.int32)
+            dq_w = dq_window(
+                qf, k_cur, v_cur, mbits, douf, Lf, deltaf,
+                counts, idx, rowbase, cb,
+                t_m=T_M, block_q=block_q, block_k=block_k,
+                interpret=interpret,
+            )
+            countsT, idxT = _compact_lists(
+                jnp.swapaxes(act_win, -1, -2)[:, None]
+            )
+            countsT, idxT = countsT[:, 0], idxT[:, 0]
+            dk_w, dv_w = dkv_window(
+                qf, k_cur, v_cur, mbits, douf, Lf, deltaf,
+                countsT, idxT, rowbase, cb,
+                t_m=T_M, block_q=block_q, block_k=block_k,
+                interpret=interpret,
+            )
+            dq_acc = dq_acc + dq_w.astype(jnp.float32)
+            dk_acc = dk_acc + dk_w.astype(jnp.float32)
+            dv_acc = dv_acc + dv_w.astype(jnp.float32)
+            k_nxt = jax.lax.ppermute(k_cur, axis, fwd)
+            v_nxt = jax.lax.ppermute(v_cur, axis, fwd)
+            dk_nxt = jax.lax.ppermute(dk_acc, axis, fwd)
+            dv_nxt = jax.lax.ppermute(dv_acc, axis, fwd)
+            return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc), None
+
+        z = jnp.zeros((N, H, TL, D), jnp.float32)
+        (k_fin, v_fin, dk, dv, dq), _ = jax.lax.scan(
+            step, (k_l, v_l, z, z, z), jnp.arange(n_shards)
+        )
+        return dq.astype(q_l.dtype), dk.astype(q_l.dtype), dv.astype(
+            q_l.dtype
+        )
+
+    dq, dk, dv = shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=(seq_spec, seq_spec, seq_spec),
+        check_vma=False,
+    )(qp_, k, v, maskp, doup, Lp, deltap, rows_b)
+    if inv is not None:
+        dq = dq[:, :, inv]
+    dmask = jnp.zeros_like(mask_m)
+    return dq, dk, dv, dmask, dscaler
+
+
+ring_fused_train_attention.defvjp(_ring_train_fwd, _ring_train_bwd)
 
 
 def _masked_rowwise_attention(

@@ -272,3 +272,89 @@ def test_module_benchmark_forward_head_sharded():
     a = np.asarray(out_plain.context_layer)
     b = np.asarray(out_sharded.context_layer)
     assert np.abs(a - b).max() < 1e-4
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_ring_fused_train_grads_match_unsharded(zigzag):
+    """DIFFERENTIABLE ring attention: K/V (and dk/dv) stay sequence-
+    sharded through forward AND backward; loss and q/k/v/scaler grads
+    match the single-device custom_vjp kernel."""
+    from sea_tpu.ops.kernels.block_sparse import fused_sparse_attention
+    from sea_tpu.parallel.sharded_attention import (
+        ring_fused_train_attention,
+    )
+
+    q, k, v, mask, scaler = make_case()
+    mesh = make_mesh(dp=2, sp=4)
+    tgt = jnp.asarray(
+        np.random.default_rng(7).standard_normal(q.shape).astype(np.float32)
+    )
+
+    def loss_plain(q, k, v, scaler):
+        o = fused_sparse_attention(q, k, v, mask, scaler, None, 64, 64, True)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_ring(q, k, v, scaler):
+        o = ring_fused_train_attention(
+            q, k, v, mask, scaler, mesh, "sp", zigzag, 64, 64, True
+        )
+        return jnp.sum((o - tgt) ** 2)
+
+    lp, gp = jax.jit(jax.value_and_grad(loss_plain, argnums=(0, 1, 2, 3)))(
+        q, k, v, scaler
+    )
+    lr, gr = jax.jit(jax.value_and_grad(loss_ring, argnums=(0, 1, 2, 3)))(
+        q, k, v, scaler
+    )
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    for a, b, name in zip(gr, gp, ["dq", "dk", "dv", "dscaler"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name
+        )
+
+
+def test_module_fused_train_ring_grads_match_unsharded():
+    """use_fused_train under kind='ring': parameter grads through the
+    module match the unsharded differentiable path while K/V and their
+    gradients stay sequence-sharded."""
+    from tests.test_attention import small_cfg, make_inputs
+    from sea_tpu.models.attention import SeaAttention
+    from sea_tpu.parallel.context import sharded_attention_scope
+
+    cfg = small_cfg(
+        causal=True, use_pallas=True, use_fused_train=True,
+        max_position_embeddings=512,
+    )
+    q, k, v, mask, *_ = make_inputs(cfg, N=1, T=512)
+    model = SeaAttention(cfg)
+    params = jax.jit(
+        lambda: model.init(
+            jax.random.key(0), q, k, v, q, k, v, q, k, mask,
+            benchmarking=False,
+        )
+    )()
+
+    def loss(p):
+        out = model.apply(
+            p, q, k, v, q, k, v, q, k, mask, benchmarking=False,
+            training=True,
+        )
+        return jnp.sum(out.context_layer.astype(jnp.float32) ** 2)
+
+    lp, gp = jax.jit(jax.value_and_grad(loss))(params)
+    mesh = make_mesh(dp=2, sp=4)
+    with sharded_attention_scope(mesh, axis="sp", kind="ring", block_q=64,
+                                 block_k=64):
+        lr, gr = jax.jit(jax.value_and_grad(loss))(params)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    flat_p = dict(
+        (jax.tree_util.keystr(kk), vv)
+        for kk, vv in jax.tree_util.tree_leaves_with_path(gp)
+    )
+    for kk, vv in jax.tree_util.tree_leaves_with_path(gr):
+        np.testing.assert_allclose(
+            np.asarray(vv),
+            np.asarray(flat_p[jax.tree_util.keystr(kk)]),
+            atol=2e-4,
+            err_msg=jax.tree_util.keystr(kk),
+        )
