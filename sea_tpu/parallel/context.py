@@ -32,7 +32,8 @@ class AttnShardingContext:
     axis: str = "sp"
     kind: str = "seq"  # 'seq' (zigzag row blocks) | 'head' | 'ring'
     #   'ring': K/V stay sequence-sharded and rotate via ppermute —
-    #   per-chip K/V memory O(T/shards) (benchmark path only)
+    #   per-chip K/V memory O(T/shards); differentiable on the
+    #   use_fused_train path (dk/dv ring home with their chunks)
     zigzag: bool = True
     block_q: Optional[int] = None
     block_k: Optional[int] = None
