@@ -1,7 +1,16 @@
 """Model integration layer: SEA attention core + student/teacher models."""
 
 from .attention import SeaAttention, SeaAttentionOutput
-from .bert import BertConfig, BertForSequenceClassification, BertModel, bert_base
+from .bert import (
+    BertConfig,
+    BertForMaskedLM,
+    BertForMultipleChoice,
+    BertForQuestionAnswering,
+    BertForSequenceClassification,
+    BertForTokenClassification,
+    BertModel,
+    bert_base,
+)
 from .opt import (
     OptConfig,
     OptForCausalLM,
@@ -31,7 +40,11 @@ __all__ = [
     "SeaAttention",
     "SeaAttentionOutput",
     "BertConfig",
+    "BertForMaskedLM",
+    "BertForMultipleChoice",
+    "BertForQuestionAnswering",
     "BertForSequenceClassification",
+    "BertForTokenClassification",
     "BertModel",
     "bert_base",
     "OptConfig",

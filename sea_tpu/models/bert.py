@@ -419,6 +419,172 @@ class BertForSequenceClassification(nn.Module):
         }
 
 
+class BertForQuestionAnswering(nn.Module):
+    """Extractive-QA head (reference `perlin_bert.py:2350`
+    BertForQuestionAnswering): a 2-unit dense over the sequence output
+    split into start/end logits; loss is the mean of the two
+    cross-entropies with positions clamped to [0, T] and T used as the
+    ignored index (HF semantics)."""
+
+    cfg: BertConfig
+
+    def setup(self):
+        self.bert = BertModel(self.cfg, name="bert")
+        self.qa_outputs = nn.Dense(2, name="qa_outputs")
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask_1d,
+        token_type_ids=None,
+        start_positions=None,
+        end_positions=None,
+        teacher_outputs=None,
+        *,
+        benchmarking=False,
+        training=False,
+        rng=None,
+        output_hidden_states=False,
+    ):
+        h, _pooled, hidden_states, captures, aux_loss = self.bert(
+            input_ids, attention_mask_1d, token_type_ids, teacher_outputs,
+            benchmarking=benchmarking, training=training, rng=rng,
+            output_hidden_states=output_hidden_states,
+        )
+        logits = self.qa_outputs(h)  # (N, T, 2)
+        start_logits = logits[..., 0]
+        end_logits = logits[..., 1]
+        loss = None
+        if start_positions is not None and end_positions is not None:
+            T = start_logits.shape[1]
+
+            def span_ce(lg, pos):
+                # clamp to [0, T]; index == T means "no answer in span"
+                # and is ignored (HF ignored_index = seq_len)
+                pos = jnp.clip(pos, 0, T)
+                logp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+                alive = pos != T
+                safe = jnp.where(alive, pos, 0)
+                nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+                return (nll * alive).sum() / jnp.maximum(alive.sum(), 1)
+
+            loss = 0.5 * (
+                span_ce(start_logits, start_positions)
+                + span_ce(end_logits, end_positions)
+            )
+        return {
+            "start_logits": start_logits,
+            "end_logits": end_logits,
+            "loss": loss,
+            "hidden_states": hidden_states,
+            "teacher_captures": captures,
+            "aux_loss": aux_loss,
+            "last_hidden_state": h,
+        }
+
+
+class BertForTokenClassification(nn.Module):
+    """Per-token labeling head (reference `perlin_bert.py:2435`
+    BertForTokenClassification): classifier over every sequence position;
+    cross-entropy with the HF -100 ignore convention."""
+
+    cfg: BertConfig
+
+    def setup(self):
+        self.bert = BertModel(self.cfg, name="bert")
+        self.classifier = nn.Dense(self.cfg.num_labels, name="classifier")
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask_1d,
+        token_type_ids=None,
+        labels=None,
+        teacher_outputs=None,
+        *,
+        benchmarking=False,
+        training=False,
+        rng=None,
+        output_hidden_states=False,
+    ):
+        h, _pooled, hidden_states, captures, aux_loss = self.bert(
+            input_ids, attention_mask_1d, token_type_ids, teacher_outputs,
+            benchmarking=benchmarking, training=training, rng=rng,
+            output_hidden_states=output_hidden_states,
+        )
+        logits = self.classifier(h)  # (N, T, num_labels)
+        loss = None
+        if labels is not None:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            alive = labels != -100
+            safe = jnp.where(alive, labels, 0)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            loss = (nll * alive).sum() / jnp.maximum(alive.sum(), 1)
+        return {
+            "logits": logits,
+            "loss": loss,
+            "hidden_states": hidden_states,
+            "teacher_captures": captures,
+            "aux_loss": aux_loss,
+            "last_hidden_state": h,
+        }
+
+
+class BertForMultipleChoice(nn.Module):
+    """Multiple-choice head (reference `perlin_bert.py:2256`
+    BertForMultipleChoice): inputs are (N, C, T); choices are flattened
+    into the batch, each choice pooled and scored with a 1-unit dense,
+    and the C scores softmaxed against the gold choice index."""
+
+    cfg: BertConfig
+
+    def setup(self):
+        self.bert = BertModel(self.cfg, name="bert")
+        self.classifier = nn.Dense(1, name="classifier")
+
+    def __call__(
+        self,
+        input_ids,  # (N, C, T)
+        attention_mask_1d,  # (N, C, T)
+        token_type_ids=None,
+        labels=None,  # (N,) gold choice index
+        teacher_outputs=None,
+        *,
+        benchmarking=False,
+        training=False,
+        rng=None,
+        output_hidden_states=False,
+    ):
+        N, C, T = input_ids.shape
+        flat_ids = input_ids.reshape(N * C, T)
+        flat_mask = attention_mask_1d.reshape(N * C, T)
+        flat_types = (
+            token_type_ids.reshape(N * C, T)
+            if token_type_ids is not None
+            else None
+        )
+        h, pooled, hidden_states, captures, aux_loss = self.bert(
+            flat_ids, flat_mask, flat_types, teacher_outputs,
+            benchmarking=benchmarking, training=training, rng=rng,
+            output_hidden_states=output_hidden_states,
+        )
+        logits = self.classifier(pooled).reshape(N, C)
+        loss = None
+        if labels is not None:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            loss = -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], axis=-1)
+            )
+        return {
+            "logits": logits,
+            "loss": loss,
+            "hidden_states": hidden_states,
+            "teacher_captures": captures,
+            "aux_loss": aux_loss,
+            "last_hidden_state": h,
+        }
+
+
 class BertForMaskedLM(nn.Module):
     """MLM head (reference `perlin_bert.py:1935` BertForMaskedLM ->
     BertOnlyMLMHead: transform dense + gelu + LayerNorm, then a decoder

@@ -137,6 +137,111 @@ def test_mlm_head_forward_loss_and_tying():
         assert float(jnp.abs(emb_g[unused[0]]).sum()) >= 0  # shape sanity
 
 
+def test_qa_head_span_loss():
+    """BertForQuestionAnswering (reference perlin_bert.py:2350):
+    start/end logits from a 2-unit dense; loss = mean of the two CEs
+    with out-of-span positions clamped to T and ignored."""
+    from sea_tpu.models.bert import BertForQuestionAnswering
+
+    cfg = tiny_bert("perlin")
+    model = BertForQuestionAnswering(cfg)
+    ids, mask, _ = make_batch(pad=False)
+    start = jnp.asarray([3, 5], jnp.int32)
+    # second example's end position out of range -> clamped to T=16,
+    # treated as ignored in the end CE
+    end = jnp.asarray([7, 99], jnp.int32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.key(0), ids, mask)
+    )()
+    out = jax.jit(
+        lambda v: model.apply(v, ids, mask, None, start, end)
+    )(variables)
+    assert out["start_logits"].shape == (2, 16)
+    assert out["end_logits"].shape == (2, 16)
+
+    def ce(lg, pos):
+        logp = jax.nn.log_softmax(np.asarray(lg, np.float32), -1)
+        pos = np.clip(np.asarray(pos), 0, 16)
+        alive = pos != 16
+        nll = -np.take_along_axis(logp, np.where(alive, pos, 0)[:, None], -1)[:, 0]
+        return (nll * alive).sum() / max(alive.sum(), 1)
+
+    want = 0.5 * (ce(out["start_logits"], start) + ce(out["end_logits"], end))
+    np.testing.assert_allclose(float(out["loss"]), float(want), rtol=1e-6)
+
+    g = jax.jit(
+        jax.grad(
+            lambda v: model.apply(v, ids, mask, None, start, end)["loss"]
+        )
+    )(variables)
+    gsum = sum(
+        float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["params"])
+    )
+    assert np.isfinite(gsum) and gsum > 0
+
+
+def test_token_classification_head():
+    """BertForTokenClassification (reference perlin_bert.py:2435):
+    per-position classifier with the -100 ignore convention."""
+    from sea_tpu.models.bert import BertForTokenClassification
+
+    cfg = tiny_bert("perlin")
+    model = BertForTokenClassification(cfg)
+    ids, mask, _ = make_batch(pad=False)
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, cfg.num_labels, (2, 16))
+    labels[:, -3:] = -100
+    labels = jnp.asarray(labels, jnp.int32)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
+    out = jax.jit(
+        lambda v: model.apply(v, ids, mask, None, labels)
+    )(variables)
+    assert out["logits"].shape == (2, 16, cfg.num_labels)
+
+    logp = jax.nn.log_softmax(np.asarray(out["logits"], np.float32), -1)
+    alive = np.asarray(labels) != -100
+    nll = -np.take_along_axis(
+        logp, np.where(alive, np.asarray(labels), 0)[..., None], -1
+    )[..., 0]
+    want = (nll * alive).sum() / alive.sum()
+    np.testing.assert_allclose(float(out["loss"]), float(want), rtol=1e-6)
+
+
+def test_multiple_choice_head():
+    """BertForMultipleChoice (reference perlin_bert.py:2256): (N, C, T)
+    inputs flattened into the batch, pooled scores softmaxed over C."""
+    from sea_tpu.models.bert import BertForMultipleChoice
+
+    cfg = tiny_bert("perlin")
+    model = BertForMultipleChoice(cfg)
+    rng = np.random.default_rng(5)
+    N, C, T = 2, 3, 16
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (N, C, T)), jnp.int32)
+    mask = jnp.ones((N, C, T), jnp.int32)
+    labels = jnp.asarray([1, 2], jnp.int32)
+    variables = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
+    out = jax.jit(
+        lambda v: model.apply(v, ids, mask, None, labels)
+    )(variables)
+    assert out["logits"].shape == (N, C)
+
+    logp = jax.nn.log_softmax(np.asarray(out["logits"], np.float32), -1)
+    want = -np.take_along_axis(logp, np.asarray(labels)[:, None], -1).mean()
+    np.testing.assert_allclose(float(out["loss"]), float(want), rtol=1e-6)
+
+    # choices are scored independently: permuting the choice axis permutes
+    # the logits identically (the flattened batch carries no cross-choice
+    # state)
+    perm = jnp.asarray([2, 0, 1])
+    out_p = jax.jit(
+        lambda v: model.apply(v, ids[:, perm], mask[:, perm])
+    )(variables)
+    np.testing.assert_allclose(
+        np.asarray(out_p["logits"]), np.asarray(out["logits"][:, perm]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_mlm_head_kd_capture_compatible():
     """The MLM model threads teacher captures like the classifier head
     (so the GLUE-style KD wrapper machinery applies to MLM pretraining)."""
