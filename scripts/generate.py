@@ -28,6 +28,11 @@ def main():
     p.add_argument("--parallel-prefill", action="store_true", default=False,
                    help="ingest the prompt with ONE batched forward "
                         "(prefill_parallel) instead of per-token decode")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="> 0 samples (HF do_sample semantics); 0 = greedy")
+    p.add_argument("--top-k", type=int, default=0, help="0 disables")
+    p.add_argument("--top-p", type=float, default=1.0, help="1.0 disables")
+    p.add_argument("--seed", type=int, default=0, help="sampling key")
     args = p.parse_args()
 
     from sea_tpu.models.opt import OptForCausalLM, opt_125m
@@ -81,8 +86,17 @@ def main():
             logits, states = step(
                 variables, prompt[:, t : t + 1], jnp.int32(t), states
             )
+    from sea_tpu.ops.sampling import sample_logits
+
+    sample = jax.jit(
+        lambda k, lg: sample_logits(
+            k, lg, args.temperature, args.top_k, args.top_p
+        )
+    )
+    key = jax.random.key(args.seed)
     for i in range(args.steps):
-        nxt = int(np.asarray(logits[0, -1]).argmax())
+        key, sub = jax.random.split(key)
+        nxt = int(np.asarray(sample(sub, logits[:, -1].astype(jnp.float32)))[0])
         tokens.append(nxt)
         logits, states = step(
             variables,

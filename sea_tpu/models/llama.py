@@ -654,6 +654,7 @@ class LlamaForCausalLM(nn.Module):
     # reuse OPT's lax.scan greedy and beam search drivers directly
     generate_greedy = OptForCausalLM.generate_greedy
     generate_beam = OptForCausalLM.generate_beam
+    generate_sample = OptForCausalLM.generate_sample
 
     def __call__(
         self,

@@ -739,6 +739,58 @@ class OptForCausalLM(nn.Module):
         )
         return jnp.swapaxes(tokens, 0, 1)  # (N, num_steps)
 
+    def generate_sample(
+        self,
+        prompt_ids: jnp.ndarray,  # (N, P)
+        max_len: int,
+        num_steps: int,
+        rng,
+        temperature=1.0,
+        top_k=0,
+        top_p=1.0,
+        parallel_prefill: bool = False,
+    ):
+        """Stochastic generation (temperature / top-k / top-p) — the
+        TPU-native analogue of HF `generate(do_sample=True)` used by the
+        reference's `main/opt_generate.py`; the whole loop is one
+        lax.scan on device. temperature/top_k/top_p are scalars or (N,)
+        per-row arrays; temperature <= 0 rows decode greedily (so one
+        compiled program serves mixed batches)."""
+        from ..ops.sampling import sample_logits
+
+        N, P = prompt_ids.shape
+        if parallel_prefill:
+            logits_all, states = self.prefill_parallel(prompt_ids, max_len)
+            last_logits = logits_all[:, -1]
+        else:
+            states = self.init_decode_states(N, max_len, jnp.float32)
+
+            def prefill_body(carry, t):
+                states = carry
+                logits, states = self.decode_step(
+                    jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+                )
+                return states, logits[:, 0]
+
+            states, prefill_logits = jax.lax.scan(
+                prefill_body, states, jnp.arange(P, dtype=jnp.int32)
+            )
+            last_logits = prefill_logits[-1]
+
+        def gen_body(carry, i):
+            states, last_logits = carry
+            key = jax.random.fold_in(rng, i)
+            nxt = sample_logits(
+                key, last_logits, temperature, top_k, top_p
+            )[:, None]
+            logits, states = self.decode_step(nxt, P + i, states)
+            return (states, logits[:, 0]), nxt[:, 0]
+
+        (states, _), tokens = jax.lax.scan(
+            gen_body, (states, last_logits), jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return jnp.swapaxes(tokens, 0, 1)  # (N, num_steps)
+
     def generate_beam(
         self,
         prompt_ids: jnp.ndarray,  # (N, P)

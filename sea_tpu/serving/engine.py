@@ -27,8 +27,9 @@ to port, so this subsystem is designed TPU-first from scratch:
 
 Scheduling policy: FCFS admission to free slots; a slot stalls (keeps its
 state, burns one lane) when the pool has no free page at a page boundary,
-and resumes as soon as another request completes. Sampling is greedy or
-temperature-categorical per slot.
+and resumes as soon as another request completes. Sampling is per slot:
+greedy (temperature 0) or temperature / top-k / top-p categorical
+(`ops/sampling.py`) — mixed batches share the one compiled step.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ import numpy as np
 
 from ..models.opt import OptForCausalLM
 from ..models.state import SeaDecodeState, reset_state_rows, select_state_rows
+from ..ops.sampling import sample_logits
 
 
 @dataclasses.dataclass
@@ -51,6 +53,8 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     temperature: float = 0.0
+    top_k: int = 0  # 0 disables
+    top_p: float = 1.0  # 1.0 disables
     # --- engine-owned state ---
     rid: int = -1
     output: List[int] = dataclasses.field(default_factory=list)
@@ -187,7 +191,7 @@ class ServingEngine:
     # ------------------------------------------------------------------
     def _device_chunk(
         self, variables, states, pool_k, pool_v, fed, use_fed, start_pos,
-        sched, pages, temps, step0,
+        sched, pages, temps, top_ks, top_ps, step0,
     ):
         """Run C = fed.shape[0] decode steps on device between host syncs
         (multi-step scheduling): each inner step feeds either the next
@@ -214,12 +218,8 @@ class ServingEngine:
                 ),
             )
             last_logits = logits[:, 0].astype(jnp.float32)  # (S, V)
-            greedy = jnp.argmax(last_logits, axis=-1)
             key = jax.random.fold_in(self._base_key, step0 + i)
-            sampled = jax.random.categorical(
-                key, last_logits / jnp.maximum(temps, 1e-6)[:, None]
-            )
-            nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+            nxt = sample_logits(key, last_logits, temps, top_ks, top_ps)
             new_states = [
                 select_state_rows(ns, os_, sched)
                 for ns, os_ in zip(new_states, states)
@@ -240,9 +240,11 @@ class ServingEngine:
         prompt: List[int],
         max_new_tokens: int = 16,
         temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> int:
         assert len(prompt) >= 1, "empty prompt"
-        req = Request(list(prompt), max_new_tokens, temperature)
+        req = Request(list(prompt), max_new_tokens, temperature, top_k, top_p)
         req.rid = self._rid
         self._rid += 1
         self.queue.append(req)
@@ -295,6 +297,8 @@ class ServingEngine:
         start_pos = np.zeros(S, np.int32)
         sched = np.zeros(S, bool)
         temps = np.zeros(S, np.float32)
+        top_ks = np.zeros(S, np.int32)
+        top_ps = np.ones(S, np.float32)
 
         for s, req in enumerate(self.slots):
             if req is None:
@@ -319,6 +323,8 @@ class ServingEngine:
             start_pos[s] = pos
             sched[s] = True
             temps[s] = req.temperature
+            top_ks[s] = req.top_k
+            top_ps[s] = req.top_p
             for i in range(C):
                 p = pos + i
                 if p < len(req.prompt):
@@ -348,6 +354,8 @@ class ServingEngine:
             jnp.asarray(sched),
             jnp.asarray(pages_t),
             jnp.asarray(temps),
+            jnp.asarray(top_ks),
+            jnp.asarray(top_ps),
             jnp.int32(self._step_count),
         )
         self._step_count += C

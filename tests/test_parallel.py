@@ -85,4 +85,4 @@ def test_scaling_sweep_sparse_benchmark():
     assert [r["devices"] for r in res] == [1, 2, 4, 8]
     for r in res:
         assert r["nnz_per_s"] > 0 and np.isfinite(r["nnz_per_s"])
-        assert "zigzag" in r["mesh"]
+        assert "seq fused kernel" in r["mesh"]
