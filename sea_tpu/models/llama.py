@@ -624,7 +624,9 @@ class LlamaForCausalLM(nn.Module):
             new_states.append(st2)
         return self.logits(self.model.finalize(h)), new_states
 
-    def prefill_parallel(self, prompt_ids: jnp.ndarray, max_len: int):
+    def prefill_parallel(
+        self, prompt_ids: jnp.ndarray, max_len: int, last_only: bool = False
+    ):
         """One batched forward over the prompt -> (logits, decode states)
         (see OptForCausalLM.prefill_parallel)."""
         N, P = prompt_ids.shape
@@ -634,7 +636,10 @@ class LlamaForCausalLM(nn.Module):
         for layer in self.model.layers:
             h, st = layer.prefill(h, bundle, max_len)
             states.append(st)
-        return self.logits(self.model.finalize(h)), states
+        h = self.model.finalize(h)
+        if last_only:
+            h = h[:, -1:]
+        return self.logits(h), states
 
     def decode_step_paged(self, token_ids, position, states, pool_k, pool_v, pages):
         h = self.model.embed_tokens(token_ids)
@@ -650,8 +655,9 @@ class LlamaForCausalLM(nn.Module):
         return self.logits(self.model.finalize(h)), new_states, pool_k, pool_v
 
     # the generation loops only touch cfg.vocab_size / init_decode_states /
-    # decode_step, which this class provides with identical signatures —
-    # reuse OPT's lax.scan greedy and beam search drivers directly
+    # decode_step / prefill_parallel, which this class provides with
+    # identical signatures — reuse OPT's lax.scan drivers directly
+    _prefill = OptForCausalLM._prefill
     generate_greedy = OptForCausalLM.generate_greedy
     generate_beam = OptForCausalLM.generate_beam
     generate_sample = OptForCausalLM.generate_sample

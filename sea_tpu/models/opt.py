@@ -633,14 +633,20 @@ class OptForCausalLM(nn.Module):
             for layer in self.model.layers
         ]
 
-    def prefill_parallel(self, prompt_ids: jnp.ndarray, max_len: int):
+    def prefill_parallel(
+        self, prompt_ids: jnp.ndarray, max_len: int, last_only: bool = False
+    ):
         """Ingest the whole prompt in ONE batched forward (MXU-efficient,
         O(P) parallel work) instead of P sequential `decode_step`s,
         returning (logits (N, P, V), per-layer decode states positioned at
         P). The decode-vs-prefill parity class is the same as
         `decode_step` vs the full forward (each layer's state is built
         from the batched forward's hidden states; fp summation order in
-        the prefix sums differs from the sequential loop)."""
+        the prefix sums differs from the sequential loop).
+
+        last_only: project only the final position's logits (N, 1, V) —
+        the generation loops need just the next-token distribution, and
+        the full (N, P, V) tensor is ~200 MB at P=1024/V=50k."""
         N, P = prompt_ids.shape
         mask1d = jnp.ones((N, P), jnp.int32)
         h, causal_mask = self.model.embed(prompt_ids, mask1d)
@@ -649,7 +655,32 @@ class OptForCausalLM(nn.Module):
             h, st = layer.prefill(h, causal_mask, max_len)
             states.append(st)
         h = self.model.finalize(h)
+        if last_only:
+            h = h[:, -1:]
         return self.logits(h), states
+
+    def _prefill(self, prompt_ids, max_len: int, parallel: bool):
+        """Shared prompt-ingestion step for the generation loops: returns
+        (states positioned at P, last-position logits (N, V))."""
+        N, P = prompt_ids.shape
+        if parallel:
+            logits, states = self.prefill_parallel(
+                prompt_ids, max_len, last_only=True
+            )
+            return states, logits[:, -1]
+        states = self.init_decode_states(N, max_len, jnp.float32)
+
+        def prefill_body(carry, t):
+            states = carry
+            logits, states = self.decode_step(
+                jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
+            )
+            return states, logits[:, 0]
+
+        states, prefill_logits = jax.lax.scan(
+            prefill_body, states, jnp.arange(P, dtype=jnp.int32)
+        )
+        return states, prefill_logits[-1]
 
     def decode_step(self, token_ids: jnp.ndarray, position: jnp.ndarray, states):
         """One autoregressive step (reference §3.4 opt_generate path).
@@ -710,23 +741,7 @@ class OptForCausalLM(nn.Module):
         prompt latency drops from P matvec-dominated steps to one
         MXU-batched pass."""
         N, P = prompt_ids.shape
-        if parallel_prefill:
-            logits_all, states = self.prefill_parallel(prompt_ids, max_len)
-            last_logits = logits_all[:, -1]
-        else:
-            states = self.init_decode_states(N, max_len, jnp.float32)
-
-            def prefill_body(carry, t):
-                states = carry
-                logits, states = self.decode_step(
-                    jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
-                )
-                return states, logits[:, 0]
-
-            states, prefill_logits = jax.lax.scan(
-                prefill_body, states, jnp.arange(P, dtype=jnp.int32)
-            )
-            last_logits = prefill_logits[-1]  # (N, V)
+        states, last_logits = self._prefill(prompt_ids, max_len, parallel_prefill)
 
         def gen_body(carry, i):
             states, last_logits = carry
@@ -759,23 +774,7 @@ class OptForCausalLM(nn.Module):
         from ..ops.sampling import sample_logits
 
         N, P = prompt_ids.shape
-        if parallel_prefill:
-            logits_all, states = self.prefill_parallel(prompt_ids, max_len)
-            last_logits = logits_all[:, -1]
-        else:
-            states = self.init_decode_states(N, max_len, jnp.float32)
-
-            def prefill_body(carry, t):
-                states = carry
-                logits, states = self.decode_step(
-                    jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
-                )
-                return states, logits[:, 0]
-
-            states, prefill_logits = jax.lax.scan(
-                prefill_body, states, jnp.arange(P, dtype=jnp.int32)
-            )
-            last_logits = prefill_logits[-1]
+        states, last_logits = self._prefill(prompt_ids, max_len, parallel_prefill)
 
         def gen_body(carry, i):
             states, last_logits = carry
@@ -812,23 +811,7 @@ class OptForCausalLM(nn.Module):
         V = self.cfg.vocab_size
 
         # prefill once at batch N, then replicate states across beams
-        if parallel_prefill:
-            logits_all, states = self.prefill_parallel(prompt_ids, max_len)
-            last_logits = logits_all[:, -1]
-        else:
-            states = self.init_decode_states(N, max_len, jnp.float32)
-
-            def prefill_body(carry, t):
-                states = carry
-                logits, states = self.decode_step(
-                    jax.lax.dynamic_slice(prompt_ids, (0, t), (N, 1)), t, states
-                )
-                return states, logits[:, 0]
-
-            states, prefill_logits = jax.lax.scan(
-                prefill_body, states, jnp.arange(P, dtype=jnp.int32)
-            )
-            last_logits = prefill_logits[-1]
+        states, last_logits = self._prefill(prompt_ids, max_len, parallel_prefill)
         logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), -1)
         top0 = jax.lax.top_k(logp0, B)  # (N, B) values, indices
         beam_logp = top0[0]  # (N, B)

@@ -22,13 +22,28 @@ import jax
 import jax.numpy as jnp
 
 
+def _filters_statically_off(top_k, top_p) -> bool:
+    """True when both filters are python-level disabled constants — the
+    hot decode loop then skips the (N, V) sort entirely."""
+    return (
+        isinstance(top_k, (int, float)) and int(top_k) == 0
+        and isinstance(top_p, (int, float)) and float(top_p) >= 1.0
+    )
+
+
 def filter_logits(logits: jnp.ndarray, top_k=0, top_p=1.0) -> jnp.ndarray:
     """Mask logits outside the top-k / top-p set to -inf.
 
     logits: (N, V) float; top_k: scalar or (N,) int32, 0 disables;
-    top_p: scalar or (N,) float, 1.0 disables. Returns (N, V).
+    top_p: scalar or (N,) float, 1.0 disables. HF composition order:
+    top-p mass is measured on the distribution RENORMALISED over the
+    top-k survivors (TopKLogitsWarper then TopPLogitsWarper), and at
+    least one token always survives (min_tokens_to_keep=1).
+    Returns (N, V).
     """
     logits = logits.astype(jnp.float32)
+    if _filters_statically_off(top_k, top_p):
+        return logits
     N, V = logits.shape
     top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (N,))
     top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (N,))
@@ -40,11 +55,15 @@ def filter_logits(logits: jnp.ndarray, top_k=0, top_p=1.0) -> jnp.ndarray:
     kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)  # (N, 1)
     keep_k = jnp.where(top_k[:, None] > 0, logits >= kth, True)
 
-    # top-p: smallest sorted prefix reaching mass p; threshold at the
-    # smallest kept sorted value
-    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    # top-p over the top-k survivors: renormalise by masking the sorted
+    # tail beyond k to -inf before the softmax, then keep the smallest
+    # prefix reaching mass p (the crossing token included); position 0
+    # is always kept (min_tokens_to_keep)
+    pos = jnp.arange(V, dtype=jnp.int32)[None, :]
+    in_k = jnp.where(top_k[:, None] > 0, pos < top_k[:, None], True)
+    probs = jax.nn.softmax(jnp.where(in_k, sorted_desc, -jnp.inf), axis=-1)
     csum = jnp.cumsum(probs, axis=-1)
-    keep_sorted = (csum - probs) < top_p[:, None]  # position 0 always kept
+    keep_sorted = ((csum - probs) < top_p[:, None]) | (pos == 0)
     thresh_p = jnp.min(
         jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1
     )  # (N,)

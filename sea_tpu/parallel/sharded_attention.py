@@ -312,115 +312,17 @@ def ring_sea_attention(
     partials (window-normalized out + logsumexp from `fwd_stats_window`)
     merge with the standard logaddexp recombination, so the result is
     bit-consistent with one full-width kernel pass up to fp reassociation.
+
+    This IS the differentiable ring's forward (`_ring_train_fwd_impl`)
+    with the per-row total logsumexp discarded — one ring-step body, one
+    set of flash-merge edge-case conventions.
     """
-    from ..ops.kernels.block_sparse import (
-        _causal_activity,
-        _compact_lists,
-        fwd_stats_window,
-        pack_compressed_bits,
+    if row_scaler is None:
+        row_scaler = jnp.ones(q.shape[:3], q.dtype)
+    out, _ = _ring_train_fwd_impl(
+        q, k, v, mask_m, row_scaler,
+        mesh, axis, zigzag, block_q, block_k, interpret,
     )
-
-    N, H, T, D = q.shape
-    n_shards = mesh.shape[axis]
-    assert T % n_shards == 0
-    TL = T // n_shards
-    CH = TL  # K/V chunk per device = its sequence shard
-    block_q = min(block_q, TL)
-    block_k = min(block_k, CH)
-    assert TL % block_q == 0 and CH % block_k == 0
-    T_M = mask_m.shape[-1]
-    NKW = CH // block_k
-
-    if zigzag and n_shards > 1:
-        perm = _zigzag_perm(T, n_shards, block_q)
-        inv = jnp.argsort(perm)
-        qp = q[:, :, perm]
-        maskp = mask_m[:, :, perm]
-        scalerp = row_scaler[:, :, perm] if row_scaler is not None else None
-        rows = perm
-    else:
-        inv = None
-        qp, maskp, scalerp = q, mask_m, row_scaler
-        rows = jnp.arange(T, dtype=jnp.int32)
-    if scalerp is None:
-        scalerp = jnp.ones((N, H, T), q.dtype)
-    rows_b = jnp.broadcast_to(rows[None, None, :], (N, H, T))
-
-    seq_spec = P(None, None, axis, None)
-    in_specs = (
-        seq_spec,  # q rows sharded
-        seq_spec,  # k SHARDED over source positions (contiguous chunks)
-        seq_spec,  # v sharded
-        seq_spec,  # mask rows sharded
-        P(None, None, axis),  # scaler rows sharded
-        P(None, None, axis),  # global row ids
-    )
-
-    def shard_fn(q_l, k_l, v_l, mask_l, scaler_l, rows_l):
-        me = jax.lax.axis_index(axis)
-        NH = N * H
-        n_words = (T_M + 31) // 32
-        row_base = rows_l[0, 0, ::block_q]  # (TL/bq,) global bases
-        rowbase = jnp.broadcast_to(
-            row_base[None, :], (NH, TL // block_q)
-        ).astype(jnp.int32)
-        row_widths = (rows_l[0, 0] + 1).astype(jnp.float32)
-        # global activity over ALL k-blocks once; each step slices its
-        # window (compressed-domain interval math, O(T·T_M), no T x T)
-        act = _causal_activity(
-            mask_l, T, block_q, block_k, row_widths=row_widths
-        ).reshape(NH, TL // block_q, T // block_k)
-        mbits = pack_compressed_bits(mask_l).reshape(NH, TL, n_words)
-        qf = q_l.reshape(N, H, TL, D)
-
-        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-
-        def step(carry, s):
-            k_cur, v_cur, L, acc = carry
-            chunk_id = (me - s) % n_shards  # which global chunk k_cur holds
-            w0 = chunk_id * NKW
-            act_win = jax.lax.dynamic_slice_in_dim(act, w0, NKW, axis=-1)
-            counts, idx = _compact_lists(act_win[:, None])  # add dummy dim
-            counts = counts[:, 0]
-            idx = idx[:, 0] + w0  # GLOBAL block ids
-            o_s, lse_s = fwd_stats_window(
-                qf, k_cur, v_cur, mbits, counts, idx, rowbase,
-                jnp.reshape(w0, (1,)).astype(jnp.int32),
-                t_m=T_M, block_q=block_q, block_k=block_k,
-                interpret=interpret,
-            )
-            # window-dead rows carry lse=+inf (bwd convention); for the
-            # merge they must contribute zero mass
-            lse_m = jnp.where(jnp.isposinf(lse_s), -jnp.inf, lse_s)
-            L_new = jnp.logaddexp(L, lse_m)
-            w_old = jnp.where(
-                jnp.isneginf(L), 0.0, jnp.exp(L - L_new)
-            )[..., None]
-            w_s = jnp.where(
-                jnp.isneginf(lse_m), 0.0, jnp.exp(lse_m - L_new)
-            )[..., None]
-            acc = acc * w_old + o_s.astype(jnp.float32) * w_s
-            k_nxt = jax.lax.ppermute(k_cur, axis, fwd)
-            v_nxt = jax.lax.ppermute(v_cur, axis, fwd)
-            return (k_nxt, v_nxt, L_new, acc), None
-
-        L0 = jnp.full((NH, TL), -jnp.inf, jnp.float32)
-        acc0 = jnp.zeros((NH, TL, D), jnp.float32)
-        (_, _, _, acc), _ = jax.lax.scan(
-            step, (k_l, v_l, L0, acc0), jnp.arange(n_shards)
-        )
-        out = acc.reshape(N, H, TL, D) * scaler_l[..., None].astype(
-            jnp.float32
-        )
-        return out.astype(q_l.dtype)
-
-    out = shard_map(
-        shard_fn, mesh=mesh, in_specs=in_specs,
-        out_specs=P(None, None, axis, None),
-        check_vma=False,
-    )(qp, k, v, maskp, scalerp, rows_b)
-    if inv is not None:
-        out = out[:, :, inv]
     return out
 
 

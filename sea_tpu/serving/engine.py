@@ -183,7 +183,9 @@ class ServingEngine:
         self.slot_pages: List[List[int]] = [[] for _ in range(S)]
         self.finished: Dict[int, Request] = {}
 
-        self._chunk_jit = jax.jit(self._device_chunk)
+        # use_filter is static: unfiltered workloads (every request at
+        # top_k=0/top_p=1) compile a sort-free decode step
+        self._chunk_jit = jax.jit(self._device_chunk, static_argnums=(13,))
         self._reset_jit = jax.jit(
             lambda states, rows: [reset_state_rows(st, rows) for st in states]
         )
@@ -191,7 +193,7 @@ class ServingEngine:
     # ------------------------------------------------------------------
     def _device_chunk(
         self, variables, states, pool_k, pool_v, fed, use_fed, start_pos,
-        sched, pages, temps, top_ks, top_ps, step0,
+        sched, pages, temps, top_ks, top_ps, step0, use_filter,
     ):
         """Run C = fed.shape[0] decode steps on device between host syncs
         (multi-step scheduling): each inner step feeds either the next
@@ -219,7 +221,10 @@ class ServingEngine:
             )
             last_logits = logits[:, 0].astype(jnp.float32)  # (S, V)
             key = jax.random.fold_in(self._base_key, step0 + i)
-            nxt = sample_logits(key, last_logits, temps, top_ks, top_ps)
+            if use_filter:
+                nxt = sample_logits(key, last_logits, temps, top_ks, top_ps)
+            else:  # statically disabled filters skip the (S, V) sort
+                nxt = sample_logits(key, last_logits, temps, 0, 1.0)
             new_states = [
                 select_state_rows(ns, os_, sched)
                 for ns, os_ in zip(new_states, states)
@@ -357,6 +362,7 @@ class ServingEngine:
             jnp.asarray(top_ks),
             jnp.asarray(top_ps),
             jnp.int32(self._step_count),
+            bool(top_ks.any() or (top_ps < 1.0).any()),
         )
         self._step_count += C
         toks = np.asarray(toks)  # (C, S)

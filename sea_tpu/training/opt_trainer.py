@@ -384,6 +384,15 @@ class OptTrainer:
     def pretrain_teacher(self, steps: int):
         """CE-train the dense teacher on the corpus (reference obtains its
         teachers pre-finetuned from the HF hub)."""
+        if "params" not in self.t_vars:
+            # scan_kd dropped the per-model teacher tree after stacking it
+            # into combined_params (the 1.3b memory plan); retraining the
+            # teacher now would desync the stacked copy anyway
+            raise RuntimeError(
+                "pretrain_teacher is unavailable after scan_kd layer "
+                "stacking — set TrainerConfig.pretrain_teacher_steps so "
+                "the constructor pretrains before stacking"
+            )
         self._teacher_tx = optax.adamw(3e-4, weight_decay=1e-2)
         t_params = self.t_vars["params"]
         opt_state = self._teacher_tx.init(t_params)

@@ -211,6 +211,20 @@ def test_kernel_impls_match_oracle(impl):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flat_wr_multiword_oracle():
+    """flat_wr at T_M=256 (8 packed mask words): the per-tile word-range
+    predication (_tile_word_ranges corner math + wlo|whi<<8 packing) is
+    degenerate at n_words=1, so the T_M=32 parametrized case above never
+    exercises it — this canary does (T=512 keeps interpret mode fast)."""
+    q, k, v, mask, scaler = make_case(T=512, T_M=256, density=0.25)
+    got = sea_block_sparse_attention(
+        q, k, v, mask, scaler, is_causal=True, block_q=128, block_k=128,
+        impl="flat_wr", interpret=True,
+    )
+    want = dense_reference(q, k, v, mask, scaler, is_causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_fused_vjp_matches_dense_grads():
     """custom_vjp backward vs jax.grad of the dense oracle (q, k, v and the
     row scaler; mask cotangent is structurally zero — reference

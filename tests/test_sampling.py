@@ -41,6 +41,23 @@ def test_filter_logits_top_p_oracle():
     assert np.isfinite(out1[0, 0]) and np.isneginf(out1[0, 1:]).all()
     # p=1.0 disables
     assert np.isfinite(np.asarray(filter_logits(logits, top_p=1.0))).all()
+    # p=0.0 still keeps the argmax (HF min_tokens_to_keep=1), never an
+    # arbitrary token
+    out0 = np.asarray(filter_logits(logits, top_p=0.0))
+    assert np.isfinite(out0[0, 0]) and np.isneginf(out0[0, 1:]).all()
+
+
+def test_filter_logits_top_k_then_top_p_composition():
+    """HF order: top-p mass is measured on the distribution renormalised
+    over the top-k survivors (TopKLogitsWarper then TopPLogitsWarper).
+    probs [0.4, 0.35, 0.25] with top_k=2: renormalised [0.533, 0.467] —
+    top_p=0.5 keeps only the first token."""
+    p = np.asarray([0.4, 0.35, 0.25], np.float32)
+    logits = jnp.asarray(np.log(p))[None, :]
+    out = np.asarray(filter_logits(logits, top_k=2, top_p=0.5))
+    assert np.isfinite(out[0, 0]) and np.isneginf(out[0, 1:]).all()
+    # without the renormalisation (measuring p on the full distribution)
+    # token 1 would also survive: 0.4 < 0.5
 
 
 def test_filter_logits_per_row_params():
