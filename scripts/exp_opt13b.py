@@ -31,6 +31,9 @@ def main():
     p.add_argument("--seq-len", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--save-dir", default="./saves/opt13b_proof")
+    p.add_argument("--eval-steps", type=int, default=0,
+                   help="strided eval-ppl every N steps (0 = proof mode, "
+                        "no eval/checkpoint inside the run)")
     args = p.parse_args()
 
     from sea_tpu.benchmarks import device_peak_bytes
@@ -48,7 +51,7 @@ def main():
         moment_dtype="bfloat16",
         logit_chunk=256,
         log_steps=1,
-        eval_steps=10 ** 9,  # no eval/checkpoint inside the proof run
+        eval_steps=args.eval_steps or 10 ** 9,
         save_dir=args.save_dir,
     )
     t0 = time.time()

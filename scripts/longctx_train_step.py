@@ -26,6 +26,9 @@ def main():
     p.add_argument("--t", type=int, default=8192)
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--logit-chunk", type=int, default=0,
+                   help="stream the task CE per chunk (at T=32k the full "
+                        "f32 logits alone are ~6.6 GB and OOM the chip)")
     args = p.parse_args()
 
     from sea_tpu.config import opt_config
@@ -61,6 +64,7 @@ def main():
             out = model.apply(
                 {**variables, "params": p}, ids, mask, labels=ids,
                 training=True, rng=jax.random.key(1),
+                logit_chunk=args.logit_chunk or None,
             )
             return out["loss"] + 0.0 * out["aux_loss"]
 

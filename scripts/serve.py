@@ -31,6 +31,8 @@ def main():
     p.add_argument("--max-pages-per-slot", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=24)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=0, help="0 disables")
+    p.add_argument("--top-p", type=float, default=1.0, help="1.0 disables")
     p.add_argument("--chunk", type=int, default=1,
                    help="decode steps per host round trip (multi-step scheduling)")
     p.add_argument("--cpu", action="store_true", help="force local CPU")
@@ -81,13 +83,15 @@ def main():
 
     # staggered arrivals: half up front, the rest trickle in while decoding
     for pr in prompts[: len(prompts) // 2]:
-        eng.submit(pr, args.max_new_tokens, args.temperature)
+        eng.submit(pr, args.max_new_tokens, args.temperature,
+                   args.top_k, args.top_p)
     t0 = time.time()
     steps = 0
     pending = prompts[len(prompts) // 2 :]
     while eng.has_work or pending:
         if pending and steps % 3 == 1:
-            eng.submit(pending.pop(0), args.max_new_tokens, args.temperature)
+            eng.submit(pending.pop(0), args.max_new_tokens,
+                       args.temperature, args.top_k, args.top_p)
         eng.step(args.chunk)
         steps += 1
         if steps > 100_000:

@@ -673,6 +673,7 @@ class LlamaForCausalLM(nn.Module):
         training: bool = False,
         rng: Optional[jax.Array] = None,
         output_hidden_states: bool = False,
+        logit_chunk: Optional[int] = None,
     ):
         h, hidden_states, captures, aux_loss = self.model(
             input_ids,
@@ -683,10 +684,20 @@ class LlamaForCausalLM(nn.Module):
             rng=rng,
             output_hidden_states=output_hidden_states,
         )
-        logits = self.logits(h)
         loss = None
-        if labels is not None:
-            loss = cross_entropy_shifted(logits, labels)
+        if labels is not None and logit_chunk:
+            from .opt import chunked_cross_entropy_shifted
+
+            # materialise the (untied) head params without the full
+            # (N, T, V) projection, then stream the CE per chunk
+            _ = self.lm_head(h[:, :1])
+            proj = self.lm_head.variables["params"]["kernel"]  # (E, V)
+            loss = chunked_cross_entropy_shifted(h, proj, labels, logit_chunk)
+            logits = None
+        else:
+            logits = self.logits(h)
+            if labels is not None:
+                loss = cross_entropy_shifted(logits, labels)
         return {
             "logits": logits,
             "loss": loss,

@@ -888,6 +888,7 @@ class OptForCausalLM(nn.Module):
         training: bool = False,
         rng: Optional[jax.Array] = None,
         output_hidden_states: bool = False,
+        logit_chunk: Optional[int] = None,
     ):
         h, hidden_states, captures, aux_loss = self.model(
             input_ids,
@@ -898,10 +899,19 @@ class OptForCausalLM(nn.Module):
             rng=rng,
             output_hidden_states=output_hidden_states,
         )
-        logits = self.logits(h)
         loss = None
-        if labels is not None:
-            loss = cross_entropy_shifted(logits, labels)
+        if labels is not None and logit_chunk:
+            # long-context memory plan: never materialise (N, T, V)
+            # logits — the task CE streams per chunk (forward AND
+            # backward, remat); logits are not returned in this mode
+            loss = chunked_cross_entropy_shifted(
+                h, self.model.embed_tokens.embedding.T, labels, logit_chunk
+            )
+            logits = None
+        else:
+            logits = self.logits(h)
+            if labels is not None:
+                loss = cross_entropy_shifted(logits, labels)
         return {
             "logits": logits,
             "loss": loss,
@@ -932,6 +942,52 @@ def unstack_layer_params(params: dict, num_layers: int) -> dict:
             lambda x, _i=i: x[_i], stacked
         )
     return {**params, "model": model}
+
+
+def chunked_cross_entropy_shifted(
+    h: jnp.ndarray,  # (N, T, E) finalized hidden states
+    proj: jnp.ndarray,  # (E, V) LM-head projection (embedding.T if tied)
+    labels: jnp.ndarray,
+    chunk: int,
+    ignore_index: int = -100,
+) -> jnp.ndarray:
+    """`cross_entropy_shifted` computed per sequence chunk under lax.scan
+    with rematerialised per-chunk logits — only one (N, chunk, V) logits
+    block is live at any point, forward AND backward (the same recipe as
+    distill._chunked_logit_losses; at T=32k/V=50k the full f32 logits
+    alone are ~6.6 GB). Identical math by sum decomposition; the shift is
+    handled by aligning labels[t+1] to position t before chunking."""
+    import math as _math
+
+    N, T, E = h.shape
+    C = int(chunk)
+    if T % C != 0:
+        C = _math.gcd(C, T)
+    nc = T // C
+    lab_next = jnp.concatenate(
+        [labels[:, 1:], jnp.full((N, 1), ignore_index, labels.dtype)], axis=1
+    )
+    h_c = jnp.swapaxes(h.reshape(N, nc, C, E), 0, 1)
+    l_c = jnp.swapaxes(lab_next.reshape(N, nc, C), 0, 1)
+
+    def chunk_loss(h_i, l_i):
+        logits = (h_i @ proj).astype(jnp.float32)
+        valid = l_i != ignore_index
+        safe = jnp.where(valid, l_i, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.where(valid, nll, 0.0).sum(), valid.sum()
+
+    chunk_loss = jax.checkpoint(chunk_loss, prevent_cse=False)
+
+    def body(carry, inp):
+        s, c = chunk_loss(*inp)
+        return (carry[0] + s, carry[1] + c), None
+
+    (tot, cnt), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.int32(0)), (h_c, l_c)
+    )
+    return tot / jnp.maximum(cnt, 1)
 
 
 def cross_entropy_shifted(

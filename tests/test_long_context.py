@@ -72,3 +72,55 @@ def test_long_context_sweep_driver():
     # dynamic_k/query_skips actually change the result
     base = [r["ppl"] for r in res if r["context"] == 128]
     assert len(set(base)) > 1
+
+
+def test_model_logit_chunk_matches_unchunked():
+    """Task-CE with logit_chunk (streamed per-chunk logits, the T=32k
+    memory plan) == the full-logits loss, values AND grads — OPT (tied
+    head) and LLaMA (untied lm_head)."""
+    from sea_tpu.models.llama import LlamaForCausalLM, llama_tiny
+
+    for name in ("opt", "llama"):
+        if name == "opt":
+            cfg = tiny_opt("perlin")
+            model = OptForCausalLM(cfg)
+        else:
+            cfg = llama_tiny("perlin")
+            model = LlamaForCausalLM(cfg)
+        ids, mask = make_batch(N=2, T=16, vocab=cfg.vocab_size)
+        variables = jax.jit(lambda m=model: m.init(jax.random.key(0), ids, mask))()
+
+        def loss(p, chunk):
+            out = model.apply(
+                {**variables, "params": p}, ids, mask, labels=ids,
+                logit_chunk=chunk,
+            )
+            return out["loss"]
+
+        l_full, g_full = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, None))
+        )(variables["params"])
+        l_chunk, g_chunk = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, 4))
+        )(variables["params"])
+        np.testing.assert_allclose(
+            float(l_chunk), float(l_full), rtol=1e-6, err_msg=name
+        )
+        for (ka, a), (kb, b) in zip(
+            sorted(
+                jax.tree_util.tree_leaves_with_path(g_full),
+                key=lambda kv: jax.tree_util.keystr(kv[0]),
+            ),
+            sorted(
+                jax.tree_util.tree_leaves_with_path(g_chunk),
+                key=lambda kv: jax.tree_util.keystr(kv[0]),
+            ),
+        ):
+            assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6,
+                err_msg=f"{name}:{jax.tree_util.keystr(ka)}",
+            )
+        # non-divisible chunk falls back to gcd and still matches
+        l_odd = jax.jit(lambda p: loss(p, 5))(variables["params"])
+        np.testing.assert_allclose(float(l_odd), float(l_full), rtol=1e-6)
