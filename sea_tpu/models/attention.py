@@ -589,6 +589,11 @@ class SeaAttention(nn.Module):
                     from ..ops.kernels.block_sparse import fused_sparse_attention
 
                     def auto_block(t):
+                        # the kernel's per-(q-block, k-block) activity
+                        # lists are scalar-prefetch arrays in smem
+                        # (1 MiB): NH·(T/bq)·(T/bk)·4B — 512x512 carries
+                        # OPT geometry to T=65536 (786 KB); see
+                        # docs/kernel_design.md "Sequence-length ceiling"
                         for b in (512, 256, 128):
                             if t % b == 0:
                                 return b

@@ -240,7 +240,7 @@ def tile_activity_sub(
 def _causal_kernel_flat(
     counts_ref,  # scalar prefetch: (NH, NQ)
     idx_ref,  # scalar prefetch: (NH, NQ, NKB)
-    submask_ref,  # scalar prefetch: (NH, NQ, NKB) — unused here
+    submask_ref,  # scalar prefetch: (NH, NQ, NKB) — unused by 'flat'
     rowbase_ref,  # scalar prefetch: (NH, NQ)
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
@@ -1128,7 +1128,7 @@ def dense_reference(
 
 
 def _causal_kernel_fwd_stats(
-    counts_ref, idx_ref, submask_ref, rowbase_ref,
+    counts_ref, idx_ref, rowbase_ref,
     q_ref, k_ref, v_ref, mbits_ref, scale_ref,
     o_ref, lse_ref,  # extra output: per-row logsumexp (1, BQ, 128)
     m_scr, l_scr, acc_scr, ab_scr,
@@ -1220,7 +1220,7 @@ def _alive_scores(q_blk, k_blk, rowbase, bk, t_m, n_words, mbits_ref, BQ, BK,
 
 
 def _causal_kernel_dq(
-    counts_ref, idx_ref, submask_ref, rowbase_ref,
+    counts_ref, idx_ref, rowbase_ref,
     q_ref, k_ref, v_ref, mbits_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_scr, ab_scr,
@@ -1263,7 +1263,7 @@ def _causal_kernel_dq(
 
 
 def _causal_kernel_dkv(
-    counts_ref, idx_ref, submask_ref, rowbase_ref,
+    counts_ref, idx_ref, rowbase_ref,
     q_ref, k_ref, v_ref, mbits_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
@@ -1351,7 +1351,6 @@ def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret,
         q, k, mask_m, block_q, block_k, row_base
     )
     NH, NQ, NKB = N * H, T_DST // block_q, T_SRC // block_k
-    submask = jnp.zeros_like(idx)
     qf = q.reshape(NH, T_DST, D)
     kf = k.reshape(NH, T_SRC, D)
     vf = v.reshape(NH, T_SRC, D)
@@ -1363,18 +1362,18 @@ def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret,
         n_words=n_words,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(NH, NQ, NKB),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
-            pl.BlockSpec((1, block_q, n_words), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_q, n_words), lambda h, i, j, c, x, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, rb: (h, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, rb: (h, i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -1394,18 +1393,18 @@ def _fwd_with_stats(q, k, v, mask_m, scaler, block_q, block_k, interpret,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts, idx, submask, rowbase, qf, kf, vf, mbits, scalerf)
+    )(counts, idx, rowbase, qf, kf, vf, mbits, scalerf)
     return o.reshape(N, H, T_DST, D), lse
 
 
 def _causal_kernel_fwd_stats_cb(
-    counts_ref, idx_ref, submask_ref, rowbase_ref, cb_ref, *rest, **kw
+    counts_ref, idx_ref, rowbase_ref, cb_ref, *rest, **kw
 ):
     """fwd_stats with an extra column-window prefetch operand (cb_ref,
     consumed only by the k/v BlockSpec index maps — idx holds GLOBAL
     k-block ids so the in-kernel pixel math needs no change)."""
     return _causal_kernel_fwd_stats(
-        counts_ref, idx_ref, submask_ref, rowbase_ref, *rest, **kw
+        counts_ref, idx_ref, rowbase_ref, *rest, **kw
     )
 
 
@@ -1438,33 +1437,32 @@ def fwd_stats_window(
     kf = k_win.reshape(NH, CH, D)
     vf = v_win.reshape(NH, CH, D)
     scalerf = jnp.ones((NH, T_DST, 128), q.dtype)
-    submask = jnp.zeros_like(idx_global)
     kernel = functools.partial(
         _causal_kernel_fwd_stats_cb, t_m=t_m, block_q=block_q,
         block_k=block_k, n_words=n_words,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(NH, NQ, NKW),
         in_specs=[
             pl.BlockSpec((1, block_q, D),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
             pl.BlockSpec((1, block_k, D),
-                         lambda h, i, j, c, x, sm, rb, cb:
+                         lambda h, i, j, c, x, rb, cb:
                          (h, x[h, i, j] - cb[0], 0)),
             pl.BlockSpec((1, block_k, D),
-                         lambda h, i, j, c, x, sm, rb, cb:
+                         lambda h, i, j, c, x, rb, cb:
                          (h, x[h, i, j] - cb[0], 0)),
             pl.BlockSpec((1, block_q, n_words),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
             pl.BlockSpec((1, block_q, 128),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, D),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
             pl.BlockSpec((1, block_q, 128),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -1484,23 +1482,23 @@ def fwd_stats_window(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts, idx_global, submask, rowbase,
+    )(counts, idx_global, rowbase,
       col_block_base.astype(jnp.int32), qf, kf, vf, mbits, scalerf)
     return o, lse[:, :, 0]
 
 
 def _causal_kernel_dq_cb(
-    counts_ref, idx_ref, submask_ref, rowbase_ref, cb_ref, *rest, **kw
+    counts_ref, idx_ref, rowbase_ref, cb_ref, *rest, **kw
 ):
     """dq kernel with the column-window prefetch operand (cb_ref consumed
     only by the k/v BlockSpec index maps; idx carries GLOBAL block ids)."""
     return _causal_kernel_dq(
-        counts_ref, idx_ref, submask_ref, rowbase_ref, *rest, **kw
+        counts_ref, idx_ref, rowbase_ref, *rest, **kw
     )
 
 
 def _causal_kernel_dkv_win(
-    counts_ref, idx_ref, submask_ref, rowbase_ref, cb_ref,
+    counts_ref, idx_ref, rowbase_ref, cb_ref,
     q_ref, k_ref, v_ref, mbits_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
@@ -1570,34 +1568,33 @@ def dq_window(
     deltaf = jnp.broadcast_to(
         delta.reshape(NH, T_DST, 1), (NH, T_DST, 128)
     ).astype(jnp.float32)
-    submask = jnp.zeros_like(idx_global)
     kernel = functools.partial(
         _causal_kernel_dq_cb, t_m=t_m, block_q=block_q, block_k=block_k,
         n_words=n_words,
     )
     spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(NH, NQ, NKW),
         in_specs=[
             pl.BlockSpec((1, block_q, D),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
             pl.BlockSpec((1, block_k, D),
-                         lambda h, i, j, c, x, sm, rb, cb:
+                         lambda h, i, j, c, x, rb, cb:
                          (h, x[h, i, j] - cb[0], 0)),
             pl.BlockSpec((1, block_k, D),
-                         lambda h, i, j, c, x, sm, rb, cb:
+                         lambda h, i, j, c, x, rb, cb:
                          (h, x[h, i, j] - cb[0], 0)),
             pl.BlockSpec((1, block_q, n_words),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
             pl.BlockSpec((1, block_q, D),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
             pl.BlockSpec((1, block_q, 128),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
             pl.BlockSpec((1, block_q, 128),
-                         lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)),
+                         lambda h, i, j, c, x, rb, cb: (h, i, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda h, i, j, c, x, sm, rb, cb: (h, i, 0)
+            (1, block_q, D), lambda h, i, j, c, x, rb, cb: (h, i, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
@@ -1612,7 +1609,7 @@ def dq_window(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts, idx_global, submask, rowbase,
+    )(counts, idx_global, rowbase,
       col_block_base.astype(jnp.int32), qf, kf, vf, mbits, douf, lsef,
       deltaf)
     return dq.reshape(N, H, T_DST, D)
@@ -1640,40 +1637,39 @@ def dkv_window(
     deltaf = jnp.broadcast_to(
         delta.reshape(NH, T_DST, 1), (NH, T_DST, 128)
     ).astype(jnp.float32)
-    submask = jnp.zeros_like(idxT_local)
     kernel = functools.partial(
         _causal_kernel_dkv_win, t_m=t_m, block_q=block_q, block_k=block_k,
         n_words=n_words,
     )
     spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(NH, NKW, NQ),
         in_specs=[
             pl.BlockSpec((1, block_q, D),
-                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         lambda h, jk, iq, c, x, rb, cb:
                          (h, x[h, jk, iq], 0)),
             pl.BlockSpec((1, block_k, D),
-                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+                         lambda h, jk, iq, c, x, rb, cb: (h, jk, 0)),
             pl.BlockSpec((1, block_k, D),
-                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+                         lambda h, jk, iq, c, x, rb, cb: (h, jk, 0)),
             pl.BlockSpec((1, block_q, n_words),
-                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         lambda h, jk, iq, c, x, rb, cb:
                          (h, x[h, jk, iq], 0)),
             pl.BlockSpec((1, block_q, D),
-                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         lambda h, jk, iq, c, x, rb, cb:
                          (h, x[h, jk, iq], 0)),
             pl.BlockSpec((1, block_q, 128),
-                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         lambda h, jk, iq, c, x, rb, cb:
                          (h, x[h, jk, iq], 0)),
             pl.BlockSpec((1, block_q, 128),
-                         lambda h, jk, iq, c, x, sm, rb, cb:
+                         lambda h, jk, iq, c, x, rb, cb:
                          (h, x[h, jk, iq], 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, D),
-                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+                         lambda h, jk, iq, c, x, rb, cb: (h, jk, 0)),
             pl.BlockSpec((1, block_k, D),
-                         lambda h, jk, iq, c, x, sm, rb, cb: (h, jk, 0)),
+                         lambda h, jk, iq, c, x, rb, cb: (h, jk, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
@@ -1691,7 +1687,7 @@ def dkv_window(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(countsT, idxT_local, submask, rowbase,
+    )(countsT, idxT_local, rowbase,
       col_block_base.astype(jnp.int32), qf, kf, vf, mbits, douf, lsef,
       deltaf)
     return dk.reshape(N, H, CH, D), dv.reshape(N, H, CH, D)
@@ -1761,26 +1757,24 @@ def _fused_bwd(block_q, block_k, interpret, res, do):
     deltaf = jnp.broadcast_to(
         delta.reshape(NH, T_DST, 1), (NH, T_DST, 128)
     ).astype(jnp.float32)
-    submask = jnp.zeros_like(idx)
-    submaskT = jnp.zeros_like(idxT)
 
     dq_kernel = functools.partial(
         _causal_kernel_dq, t_m=T_M, block_q=block_q, block_k=block_k,
         n_words=n_words,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(NH, NQ, NKB),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)),
-            pl.BlockSpec((1, block_q, n_words), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, i, j, c, x, rb: (h, x[h, i, j], 0)),
+            pl.BlockSpec((1, block_q, n_words), lambda h, i, j, c, x, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, rb: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, i, j, c, x, rb: (h, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, rb: (h, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -1795,27 +1789,27 @@ def _fused_bwd(block_q, block_k, interpret, res, do):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts, idx, submask, rowbase, qf, kf, vf, mbits, douf, lsef, deltaf)
+    )(counts, idx, rowbase, qf, kf, vf, mbits, douf, lsef, deltaf)
 
     dkv_kernel = functools.partial(
         _causal_kernel_dkv, t_m=T_M, block_q=block_q, block_k=block_k,
         n_words=n_words,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(NH, NKB, NQ),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
-            pl.BlockSpec((1, block_q, n_words), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
-            pl.BlockSpec((1, block_q, D), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
-            pl.BlockSpec((1, block_q, 128), lambda h, jk, iq, c, x, sm, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, jk, iq, c, x, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, rb: (h, jk, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, rb: (h, jk, 0)),
+            pl.BlockSpec((1, block_q, n_words), lambda h, jk, iq, c, x, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, D), lambda h, jk, iq, c, x, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, jk, iq, c, x, rb: (h, x[h, jk, iq], 0)),
+            pl.BlockSpec((1, block_q, 128), lambda h, jk, iq, c, x, rb: (h, x[h, jk, iq], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
-            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, sm, rb: (h, jk, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, rb: (h, jk, 0)),
+            pl.BlockSpec((1, block_k, D), lambda h, jk, iq, c, x, rb: (h, jk, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
@@ -1833,7 +1827,7 @@ def _fused_bwd(block_q, block_k, interpret, res, do):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(countsT, idxT, submaskT, rowbase, qf, kf, vf, mbits, douf, lsef, deltaf)
+    )(countsT, idxT, rowbase, qf, kf, vf, mbits, douf, lsef, deltaf)
 
     dq = dq.reshape(N, H, T_DST, D)
     dk = dk.reshape(N, H, T_SRC, D)
