@@ -957,12 +957,12 @@ def chunked_cross_entropy_shifted(
     distill._chunked_logit_losses; at T=32k/V=50k the full f32 logits
     alone are ~6.6 GB). Identical math by sum decomposition; the shift is
     handled by aligning labels[t+1] to position t before chunking."""
-    import math as _math
-
     N, T, E = h.shape
     C = int(chunk)
     if T % C != 0:
-        C = _math.gcd(C, T)
+        # largest divisor of T not exceeding the requested chunk (gcd can
+        # collapse to 1 and turn the scan into T tiny-matmul steps)
+        C = next(d for d in range(min(C, T), 0, -1) if T % d == 0)
     nc = T // C
     lab_next = jnp.concatenate(
         [labels[:, 1:], jnp.full((N, 1), ignore_index, labels.dtype)], axis=1

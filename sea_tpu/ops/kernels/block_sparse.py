@@ -240,7 +240,6 @@ def tile_activity_sub(
 def _causal_kernel_flat(
     counts_ref,  # scalar prefetch: (NH, NQ)
     idx_ref,  # scalar prefetch: (NH, NQ, NKB)
-    submask_ref,  # scalar prefetch: (NH, NQ, NKB) — unused by 'flat'
     rowbase_ref,  # scalar prefetch: (NH, NQ)
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
@@ -867,7 +866,8 @@ def sea_block_sparse_attention(
             counts, idx = tile_activity_lists(
                 mask_m, T_SRC, True, block_q, block_k, row_widths=row_widths
             )
-            submask = jnp.zeros_like(idx)
+            submask = None  # 'flat' takes no submask operand (smem is 1 MiB
+            # and every scalar-prefetch array counts — see CLAUDE.md)
             kernel = functools.partial(
                 _causal_kernel_flat,
                 t_m=T_M,
@@ -879,27 +879,31 @@ def sea_block_sparse_attention(
             )
         countsf = counts.reshape(NH, NQ)
         idxf = idx.reshape(NH, NQ, NKO)
-        submaskf = submask.reshape(NH, NQ, NKO)
+        # varargs index maps serve both prefetch arities (with/without the
+        # submask operand used only by subtile/flat_wr)
+        scalar_args = (countsf, idxf) + (
+            (submask.reshape(NH, NQ, NKO),) if submask is not None else ()
+        ) + (rowbasef,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=len(scalar_args),
             grid=(NH, NQ, NKO),
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)),
+                pl.BlockSpec((1, block_q, D), lambda h, i, j, c, x, *s: (h, i, 0)),
                 pl.BlockSpec(
-                    (1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)
+                    (1, block_k, D), lambda h, i, j, c, x, *s: (h, x[h, i, j], 0)
                 ),
                 pl.BlockSpec(
-                    (1, block_k, D), lambda h, i, j, c, x, sm, rb: (h, x[h, i, j], 0)
+                    (1, block_k, D), lambda h, i, j, c, x, *s: (h, x[h, i, j], 0)
                 ),
                 pl.BlockSpec(
-                    (1, block_q, n_words), lambda h, i, j, c, x, sm, rb: (h, i, 0)
+                    (1, block_q, n_words), lambda h, i, j, c, x, *s: (h, i, 0)
                 ),
                 pl.BlockSpec(
-                    (1, block_q, 128), lambda h, i, j, c, x, sm, rb: (h, i, 0)
+                    (1, block_q, 128), lambda h, i, j, c, x, *s: (h, i, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, block_q, D), lambda h, i, j, c, x, sm, rb: (h, i, 0)
+                (1, block_q, D), lambda h, i, j, c, x, *s: (h, i, 0)
             ),
             scratch_shapes=([pltpu.VMEM((block_q, block_k), jnp.float32)]
                             if impl == "subtile" else []) + [
@@ -919,7 +923,7 @@ def sea_block_sparse_attention(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(countsf, idxf, submaskf, rowbasef, qf, kf, vf, mbitsf, scalerf)
+        )(*scalar_args, qf, kf, vf, mbitsf, scalerf)
         out = out.reshape(N, H, T_DST, D)
         return out[:, :, :T_DST0]
 

@@ -9,11 +9,12 @@ and the serving engine's per-slot sampler — everything is shape-static
 and vectorised over rows, so per-request parameters ride as (N,) arrays
 through one compiled program.
 
-Filtering uses sorted-threshold semantics: top-k keeps every logit >=
-the k-th largest (ties at the boundary are all kept — at f32 logits
-ties are measure-zero except for degenerate inputs), top-p keeps the
-smallest sorted prefix whose probability mass reaches p (the token that
-crosses the boundary is included, matching HF's convention).
+Filtering is POSITION-based on the descending sort order (rank
+scatter), so top-k keeps exactly k tokens and top-p exactly the
+smallest prefix reaching mass p even when logits tie at the boundary
+(untrained/tiny models tie constantly) — matching HF's exact-k warpers;
+the token that crosses the p boundary is included, and at least one
+token always survives (min_tokens_to_keep=1).
 """
 
 from __future__ import annotations
@@ -48,28 +49,28 @@ def filter_logits(logits: jnp.ndarray, top_k=0, top_p=1.0) -> jnp.ndarray:
     top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (N,))
     top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (N,))
 
-    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]  # (N, V)
-
-    # top-k: threshold at the k-th largest value
-    k_idx = jnp.clip(top_k - 1, 0, V - 1)
-    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)  # (N, 1)
-    keep_k = jnp.where(top_k[:, None] > 0, logits >= kth, True)
-
-    # top-p over the top-k survivors: renormalise by masking the sorted
-    # tail beyond k to -inf before the softmax, then keep the smallest
-    # prefix reaching mass p (the crossing token included); position 0
-    # is always kept (min_tokens_to_keep)
+    order = jnp.argsort(-logits, axis=-1)  # (N, V) descending token ids
+    sorted_desc = jnp.take_along_axis(logits, order, axis=-1)
     pos = jnp.arange(V, dtype=jnp.int32)[None, :]
-    in_k = jnp.where(top_k[:, None] > 0, pos < top_k[:, None], True)
-    probs = jax.nn.softmax(jnp.where(in_k, sorted_desc, -jnp.inf), axis=-1)
-    csum = jnp.cumsum(probs, axis=-1)
-    keep_sorted = ((csum - probs) < top_p[:, None]) | (pos == 0)
-    thresh_p = jnp.min(
-        jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1
-    )  # (N,)
-    keep_p = jnp.where(top_p[:, None] < 1.0, logits >= thresh_p[:, None], True)
 
-    return jnp.where(keep_k & keep_p, logits, -jnp.inf)
+    # top-k: keep exactly the first k sorted positions
+    keep_k = jnp.where(top_k[:, None] > 0, pos < top_k[:, None], True)
+
+    # top-p over the top-k survivors (HF warper order — the mass is
+    # renormalised over the top-k set): smallest prefix reaching mass p,
+    # crossing token included, position 0 always kept
+    probs = jax.nn.softmax(jnp.where(keep_k, sorted_desc, -jnp.inf), axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep_p = ((csum - probs) < top_p[:, None]) | (pos == 0)
+    keep_p = jnp.where(top_p[:, None] < 1.0, keep_p, True)
+
+    # scatter the sorted-position keep decisions back to token ids
+    keep = (
+        jnp.zeros((N, V), bool)
+        .at[jnp.arange(N, dtype=jnp.int32)[:, None], order]
+        .set(keep_k & keep_p)
+    )
+    return jnp.where(keep, logits, -jnp.inf)
 
 
 def sample_logits(

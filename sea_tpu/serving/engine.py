@@ -184,7 +184,11 @@ class ServingEngine:
         self.finished: Dict[int, Request] = {}
 
         # use_filter is static: unfiltered workloads (every request at
-        # top_k=0/top_p=1) compile a sort-free decode step
+        # top_k=0/top_p=1) compile a sort-free decode step. The first
+        # top-k/top-p request of a session therefore triggers one extra
+        # compile of the chunked step (as does each new chunk size) —
+        # over a slow compile link, warm the filtered variant by running
+        # one filtered request during deployment warm-up.
         self._chunk_jit = jax.jit(self._device_chunk, static_argnums=(13,))
         self._reset_jit = jax.jit(
             lambda states, rows: [reset_state_rows(st, rows) for st in states]

@@ -179,6 +179,26 @@ class SeaOptKDScan:
                 out[coll] = {**shell, "model": model}
         return out
 
+    @staticmethod
+    def split_student_scan(combined):
+        """SCAN-layout student variables re-nested from the combined tree —
+        pure tree restructuring, ZERO parameter copies (at 1.3b the
+        loop-layout `split_student` materialises a +2.4 GB unstacked copy
+        on a chip that is already ~90% full; this is how evaluate() reads
+        the student mid-training)."""
+        out = {}
+        for coll, v in combined.items():
+            if not isinstance(v, dict):
+                continue
+            shell = dict(v.get("student", {}))
+            model = dict(shell.pop("model", {}))
+            stacked = v.get("pairs", {}).get("student")
+            if stacked is not None:
+                model["layers_scan"] = {"layer": stacked}
+            if model:
+                out[coll] = {**shell, "model": model}
+        return out
+
     def _chunked_logit_losses(self, t_vars, s_vars, h_t, h_s, labels):
         """(task CE, 0.2·logit KL) computed per sequence chunk under
         lax.scan with rematerialised per-chunk logits — only one
@@ -186,12 +206,12 @@ class SeaOptKDScan:
         backward. Identical math to the unchunked form (sum
         decomposition); the CE shift is handled by aligning labels[t+1]
         to position t before chunking."""
-        import math as _math
-
         C = int(self.logit_chunk)
         N, T, E = h_s.shape
         if T % C != 0:
-            C = _math.gcd(C, T)
+            # largest divisor of T not exceeding the requested chunk (gcd
+            # can collapse to 1 => T tiny-matmul scan steps)
+            C = next(d for d in range(min(C, T), 0, -1) if T % d == 0)
         nc = T // C
         lab_next = jnp.concatenate(
             [labels[:, 1:], jnp.full((N, 1), -100, labels.dtype)], axis=1

@@ -314,6 +314,19 @@ class OptTrainer:
             self._train_step = jax.jit(
                 self._train_step_impl, donate_argnums=(0, 1), **jit_kw
             )
+        if self.cfg.scan_kd:
+            # scan-layout eval model: reads the student straight out of
+            # combined_params (zero-copy re-nesting) instead of
+            # materialising a loop-layout copy (+2.4 GB at 1.3b — OOMed
+            # the step-50 eval of the 200-step chip session) and compiles
+            # one scan body instead of an unrolled N-layer program
+            import dataclasses as _dc
+
+            from .distill import causal_lm_for
+
+            self._student_scan_model = causal_lm_for(
+                _dc.replace(self.s_cfg, scan_layers=True)
+            )
         if self.mesh is not None:
             # dp-sharded evaluation: batch sharded over the mesh, the global
             # (nll, tokens) reduction inserted by GSPMD — the all-reduce the
@@ -327,8 +340,16 @@ class OptTrainer:
                 in_shardings=(repl, data, data, data),
                 out_shardings=(repl, repl),
             )
+            if self.cfg.scan_kd:
+                self._eval_step_scan = jax.jit(
+                    self._eval_step_scan_impl,
+                    in_shardings=(repl, data, data, data),
+                    out_shardings=(repl, repl),
+                )
         else:
             self._eval_step = jax.jit(self._eval_step_impl)
+            if self.cfg.scan_kd:
+                self._eval_step_scan = jax.jit(self._eval_step_scan_impl)
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, s_params, opt_state, t_vars, ids, mask, labels, rng):
@@ -415,7 +436,15 @@ class OptTrainer:
         sv = dict(self.s_extra)
         sv["params"] = s_params
         out = self.kd.student.apply(sv, ids, mask)
-        logits = out["logits"][:, :-1].astype(jnp.float32)
+        return self._eval_nll(out["logits"], labels)
+
+    def _eval_step_scan_impl(self, sv, ids, mask, labels):
+        out = self._student_scan_model.apply(sv, ids, mask)
+        return self._eval_nll(out["logits"], labels)
+
+    @staticmethod
+    def _eval_nll(logits, labels):
+        logits = logits[:, :-1].astype(jnp.float32)
         tgt = labels[:, 1:]
         valid = tgt != -100
         safe = jnp.where(valid, tgt, 0)
@@ -426,16 +455,27 @@ class OptTrainer:
     # ------------------------------------------------------------------
     def evaluate(self, max_batches: Optional[int] = None) -> float:
         if self.cfg.scan_kd:
-            self._sync_student_from_combined()
+            from .distill import SeaOptKDScan
+
+            cv = dict(self.combined_extra)
+            cv["params"] = self.combined_params
+            sv_scan = SeaOptKDScan.split_student_scan(cv)
         total_nll, total_tok = 0.0, 0
         for i, (ids, mask, labels) in enumerate(
             self.eval_corpus.batches(self.cfg.batch_size)
         ):
             if max_batches is not None and i >= max_batches:
                 break
-            nll, tok = self._eval_step(
-                self.s_params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels)
-            )
+            if self.cfg.scan_kd:
+                nll, tok = self._eval_step_scan(
+                    sv_scan, jnp.asarray(ids), jnp.asarray(mask),
+                    jnp.asarray(labels),
+                )
+            else:
+                nll, tok = self._eval_step(
+                    self.s_params, jnp.asarray(ids), jnp.asarray(mask),
+                    jnp.asarray(labels),
+                )
             total_nll += float(nll)
             total_tok += int(tok)
         return float(np.exp(total_nll / max(total_tok, 1)))

@@ -60,6 +60,21 @@ def test_filter_logits_top_k_then_top_p_composition():
     # token 1 would also survive: 0.4 < 0.5
 
 
+def test_filter_logits_exact_k_under_ties():
+    """Degenerate (all-equal) logits — the untrained-model case — must
+    still keep EXACTLY k tokens / the exact nucleus prefix, like HF's
+    position-based warpers, not every tied token."""
+    logits = jnp.zeros((2, 8), jnp.float32)
+    out = np.asarray(filter_logits(logits, top_k=2))
+    assert (np.isfinite(out).sum(-1) == 2).all()
+    out_p = np.asarray(filter_logits(logits, top_p=0.5))
+    # uniform probs 1/8: prefix mass before token i is i/8 < 0.5 -> keep 4
+    assert (np.isfinite(out_p).sum(-1) == 4).all()
+    out_kp = np.asarray(filter_logits(logits, top_k=3, top_p=0.5))
+    # renormalised over 3: csum-before = [0, 1/3, 2/3] < 0.5 -> keep 2
+    assert (np.isfinite(out_kp).sum(-1) == 2).all()
+
+
 def test_filter_logits_per_row_params():
     logits = jnp.asarray(np.random.default_rng(0).normal(size=(3, 8)), jnp.float32)
     out = np.asarray(
