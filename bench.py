@@ -25,6 +25,7 @@ on the same chip (how the reference's own benchmark tables report).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -32,8 +33,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-ITERS = 60
+# persistent compile cache: repeated bench runs (and the driver's run after
+# a builder session) skip the remote-compile tunnel for cached executables
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+ITERS = 240  # keeps ~300 ms of device work behind each sync: the relay's
+# 24-43 ms round-trip must stay well under the 20% tamper-guard bound now
+# that the kernel runs ~1 ms/call (at ITERS=60 the guard fired and the
+# conservative no-subtraction fallback understated the headline ~20%)
 ITERS_CPU = 2  # interpret mode is seconds-per-call; smoke only
+# sustained pre-timing load to reach steady clock state (SEA_BENCH_WARM
+# overrides for A/B experiments; SEA_BENCH_DEBUG=1 prints per-candidate ms)
+WARM_SECONDS = float(os.environ.get("SEA_BENCH_WARM", "5.0"))
+DEBUG = os.environ.get("SEA_BENCH_DEBUG") == "1"
 
 
 def host_topk_mask(N, H, T, T_M, K, seed=0):
@@ -82,15 +97,17 @@ def main():
         return jax.jit(wrapped)
 
     # autotune over (block shape, impl): 'flat_wr' predicates the packed-
-    # word select chain per tile (measured 3.6% faster at 512x512 in one
-    # session; the winner varies with session clock state, so take the min)
+    # word select chain per tile over TIGHT (pixel-padded) word ranges —
+    # ~2.5 of 8 words at this config — measured 17-20% faster than 'flat'
+    # once the round-4 range tightening landed (docs/kernel_design.md).
+    # The winner still varies with session clock state, so take the min.
     block_candidates = (
         [
-            (512, 512, "flat"),
-            (1024, 512, "flat"),
-            (256, 512, "flat"),
             (512, 512, "flat_wr"),
             (1024, 512, "flat_wr"),
+            (256, 512, "flat_wr"),
+            (512, 512, "flat"),
+            (1024, 512, "flat"),
         ]
         if on_tpu
         else [(None, None, "flat")]
@@ -125,9 +142,32 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # compile everything first, then hold the chip under sustained load
+    # before timing: the device-trace study (docs/kernel_design.md,
+    # "Cross-session variance") attributed up-to-1.8x session-level kernel
+    # slowdowns to on-device clock/power state — an idle chip measures the
+    # VPU-bound kernel at reduced clocks while the HBM-bound dense path is
+    # unaffected. Each fn call below keeps ITERS kernels back-to-back on
+    # device, so a few seconds of this is continuous device work.
+    for fn in sparse_fns:
+        np.asarray(fn(q, k, v, mask, scaler)[0, 0, 0, 0])
+    np.asarray(dense1(q, k, v)[0, 0, 0, 0])
+    if on_tpu:
+        warm_end = time.perf_counter() + WARM_SECONDS
+        while time.perf_counter() < warm_end:
+            np.asarray(sparse_fns[0](q, k, v, mask, scaler)[0, 0, 0, 0])
+            np.asarray(dense1(q, k, v)[0, 0, 0, 0])
+
     t0 = timeit(noop, q, k, v, mask, scaler)
-    t_sparse_raw = min(timeit(fn, q, k, v, mask, scaler) for fn in sparse_fns)
+    cand_ts = [timeit(fn, q, k, v, mask, scaler) for fn in sparse_fns]
+    if DEBUG:
+        for (bq, bk, im), t in zip(block_candidates, cand_ts):
+            print(f"# {im} {bq}x{bk}: {(t - t0) / ITERS * 1e3:.3f} ms")
+    t_sparse_raw = min(cand_ts)
     t_dense_raw = timeit(dense1, q, k, v)
+    if DEBUG:
+        print(f"# dense: {(t_dense_raw - t0) / ITERS * 1e3:.3f} ms  "
+              f"(noop {t0 * 1e3:.1f} ms total)")
     # tamper-proofing: the dispatch-overhead baseline must be small next to
     # the timed work, or the subtraction would dominate the headline number
     # (e.g. if XLA ever collapsed the noop's fori_loop). Fall back to the

@@ -15,6 +15,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 ITERS = 10
 
 
@@ -93,8 +100,10 @@ def main():
         ("flat", 512, 512),
         ("flat", 1024, 512),
         ("flat", 256, 512),
-        ("flat", 512, 256),
-        ("subtile", 512, 512),
+        ("flat_wr", 512, 512),
+        ("flat_fori", 512, 512),
+        ("flat_fori", 1024, 512),
+        ("flat_fori", 256, 512),
     ]
     for mask_name, corr in (("random", None), ("predictor_c256", 256)):
         mask = jnp.asarray(host_topk_mask(N, H, T, T_M, K, corr_len=corr))

@@ -253,6 +253,8 @@ def _causal_kernel_flat(
     ab_scr,  # (BQ, 128) f32 — lanes 0/1 hold the per-row pixel slope a and
     #          intercept base (j-invariant: computed once per q-tile; the
     #          divide per k-step measurably dominated at small block_k)
+    base_scr,  # (BQ, BK) f32 — colio·a, also j-invariant (the local column
+    #          index resets every k-block; only the b2 intercept moves)
     *,
     t_m: int,
     block_q: int,
@@ -276,6 +278,10 @@ def _causal_kernel_flat(
         w = (rows + 1).astype(jnp.float32)
         a0 = (1.0 / w) * jnp.float32(t_m)
         ab_scr[:] = jnp.broadcast_to(a0, ab_scr.shape)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(
+            jnp.float32
+        )
+        base_scr[:] = colio * a0
 
     @pl.when(j < count)
     def _compute():
@@ -287,18 +293,19 @@ def _causal_kernel_flat(
         bk = idx_ref[h, i, j]
         a = ab_scr[:, 0:1]
         b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
-        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
-        u = colio * a + b2
+        u = base_scr[:] + b2
         # trunc == floor+low-clip for u > -1; columns past the causal width
         # land on pixel >= T_M whose packed word/bits are zero -> dead
         pix = u.astype(jnp.int32)
         word_idx = pix >> 5
-        bit_idx = (pix & 31).astype(jnp.uint32)
-        word = jnp.zeros((BQ, BK), jnp.uint32)
+        mtile = jax.lax.bitcast_convert_type(mbits_ref[0], jnp.int32)
+        word = jnp.zeros((BQ, BK), jnp.int32)
         for wi in range(n_words):
-            wcol = mbits_ref[0, :, wi][:, None]
+            wcol = mtile[:, wi][:, None]
             word = jnp.where(word_idx == wi, wcol, word)
-        alive = ((word >> bit_idx) & 1) == 1
+        # sign-bit test: move bit (pix & 31) to bit 31; out-of-range pixels
+        # keep word == 0 -> non-negative -> dead
+        alive = jax.lax.shift_left(word, jnp.bitwise_and(jnp.bitwise_not(pix), 31)) < 0
         if oversample != 1.0:
             rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(
                 jnp.int32, (BQ, 1), 0
@@ -307,6 +314,9 @@ def _causal_kernel_flat(
             ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
             oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
             thr = (1.0 / oys) * 0.5 + 1e-4
+            colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(
+                jnp.float32
+            )
             xs1 = colio + (bk * BK + 1).astype(jnp.float32)
             frac = xs1 / w * ps  # exact train-path expression order
             keep = jnp.abs(frac - jnp.floor(frac + 0.5)) <= thr
@@ -352,7 +362,8 @@ def _causal_kernel_flat_wr(
     l_scr,  # (BQ, 128) f32
     acc_scr,  # (BQ, D) f32
     ab_scr,  # (BQ, 128) f32
-    word_scr,  # (BQ, BK) u32 — mask word staging (predicated writes)
+    base_scr,  # (BQ, BK) f32 — colio·a (j-invariant)
+    word_scr,  # (BQ, BK) i32 — mask word staging (predicated writes)
     *,
     t_m: int,
     block_q: int,
@@ -367,7 +378,8 @@ def _causal_kernel_flat_wr(
     (BQ, BK) tile's pixels span [trunc((c0+0.5)·T_M/w_max − 1e-4),
     trunc((c1−0.5)·T_M/w_min − 1e-4)] (monotone in c and in w, so the
     corners bound it exactly); deep tiles span 1-2 words of the 8, and
-    `pl.when` skips the rest entirely."""
+    `pl.when` skips the rest entirely. The first in-range word writes
+    word_scr fresh (no zero-init pass); subsequent words read-modify-write."""
     h = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -383,6 +395,10 @@ def _causal_kernel_flat_wr(
         w = (rows + 1).astype(jnp.float32)
         a0 = (1.0 / w) * jnp.float32(t_m)
         ab_scr[:] = jnp.broadcast_to(a0, ab_scr.shape)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(
+            jnp.float32
+        )
+        base_scr[:] = colio * a0
 
     @pl.when(j < count)
     def _compute():
@@ -397,20 +413,23 @@ def _causal_kernel_flat_wr(
         whi = wr >> 8
         a = ab_scr[:, 0:1]
         b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
-        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
-        u = colio * a + b2
+        u = base_scr[:] + b2
         pix = u.astype(jnp.int32)
         word_idx = pix >> 5
-        bit_idx = (pix & 31).astype(jnp.uint32)
-        word_scr[:] = jnp.zeros((BQ, BK), jnp.uint32)
+        mtile = jax.lax.bitcast_convert_type(mbits_ref[0], jnp.int32)
         for wi in range(n_words):
 
-            @pl.when(jnp.logical_and(wlo <= wi, wi <= whi))
+            @pl.when(wi == wlo)
+            def _first(wi=wi):
+                wcol = mtile[:, wi][:, None]
+                word_scr[:] = jnp.where(word_idx == wi, wcol, 0)
+
+            @pl.when(jnp.logical_and(wlo < wi, wi <= whi))
             def _select(wi=wi):
-                wcol = mbits_ref[0, :, wi][:, None]
+                wcol = mtile[:, wi][:, None]
                 word_scr[:] = jnp.where(word_idx == wi, wcol, word_scr[:])
         word = word_scr[:]
-        alive = ((word >> bit_idx) & 1) == 1
+        alive = jax.lax.shift_left(word, jnp.bitwise_and(jnp.bitwise_not(pix), 31)) < 0
         if oversample != 1.0:
             rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(
                 jnp.int32, (BQ, 1), 0
@@ -419,6 +438,9 @@ def _causal_kernel_flat_wr(
             ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
             oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
             thr = (1.0 / oys) * 0.5 + 1e-4
+            colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(
+                jnp.float32
+            )
             xs1 = colio + (bk * BK + 1).astype(jnp.float32)
             frac = xs1 / w * ps
             keep = jnp.abs(frac - jnp.floor(frac + 0.5)) <= thr
@@ -459,7 +481,12 @@ def _tile_word_ranges(
 ) -> jnp.ndarray:
     """Packed per-tile word ranges wlo | (whi << 8) aligned with `idx`.
     Corner evaluation of the kernel's exact pixel expression (monotone in
-    col and width), padded by one word each side against fp edge cases."""
+    col and width), padded by one PIXEL each side against fp associativity
+    wobble (the kernel computes (c0·a + c·a) where the corner computes
+    (c0+c)·a — ≤ a few ulps, which can flip trunc only within ~1e-4 of a
+    pixel boundary). Word-level ±1 padding, used through round 3, added
+    ~2 dead words to every tile and ate most of flat_wr's skip win: tight
+    ranges average ~2.5 of 8 words at the canonical config vs ~4.5."""
     N, H, NQ, NKB = idx.shape
     if row_widths is None:
         rows = jnp.arange(NQ * block_q, dtype=jnp.float32)
@@ -479,9 +506,130 @@ def _tile_word_ranges(
 
     lo = pix(c0, w_max.reshape(1, 1, NQ, 1))
     hi = pix(c1, w_min.reshape(1, 1, NQ, 1))
-    wlo = jnp.clip((lo >> 5) - 1, 0, n_words - 1)
-    whi = jnp.clip((hi >> 5) + 1, 0, n_words - 1)
+    wlo = jnp.clip((lo - 1) >> 5, 0, n_words - 1)
+    whi = jnp.clip((hi + 1) >> 5, 0, n_words - 1)
     return (wlo | (whi << 8)).astype(jnp.int32)
+
+
+def _causal_kernel_flat_fori(
+    counts_ref,  # scalar prefetch: (NH, NQ)
+    idx_ref,  # scalar prefetch: (NH, NQ, NKB)
+    submask_ref,  # scalar prefetch: (NH, NQ, NKB) — packed tight word range
+    rowbase_ref,  # scalar prefetch: (NH, NQ)
+    q_ref,  # (1, BQ, D)
+    k_ref,  # (1, BK, D)
+    v_ref,  # (1, BK, D)
+    mbits_ref,  # (1, BQ, n_words) uint32
+    scale_ref,  # (1, BQ, 128)
+    o_ref,  # (1, BQ, D)
+    m_scr,  # (BQ, 128) f32
+    l_scr,  # (BQ, 128) f32
+    acc_scr,  # (BQ, D) f32
+    ab_scr,  # (BQ, 128) f32
+    *,
+    t_m: int,
+    block_q: int,
+    block_k: int,
+    n_words: int,
+    oversample: float,
+    k_cfg: float,
+):
+    """'flat' with the static word-select chain replaced by a dynamic-trip
+    fori_loop over the tile's (tight, pixel-padded) word range.
+
+    flat_wr's lesson: pl.when-predicated chain steps must stage the carried
+    word tile in VMEM scratch, and the read-modify-write per step costs
+    about what the skipped selects saved. A fori_loop carries the word tile
+    in REGISTERS instead; the price is that the loop index is dynamic, so
+    the per-word (BQ, 1) column extraction can't be a static lane index —
+    it becomes a lane one-hot + cross-lane sum on the narrow (BQ, n_words)
+    mask tile, which is ~1/4 of a (BQ, 128) pass per step vs the two full
+    (BQ, BK) tile ops it gates. Average trip count at the canonical config
+    (T=4096, BQ=BK=512, T_M=256) is ~2.5 of 8 words."""
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    count = counts_ref[h, i]
+    BQ, BK = block_q, block_k
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, M_INIT)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        w = (rows + 1).astype(jnp.float32)
+        a0 = (1.0 / w) * jnp.float32(t_m)
+        ab_scr[:] = jnp.broadcast_to(a0, ab_scr.shape)
+
+    @pl.when(j < count)
+    def _compute():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK) f32
+
+        bk = idx_ref[h, i, j]
+        wr = submask_ref[h, i, j]
+        wlo = wr & 0xFF
+        whi = wr >> 8
+        a = ab_scr[:, 0:1]
+        b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)
+        u = colio * a + b2
+        pix = u.astype(jnp.int32)
+        word_idx = pix >> 5
+        mtile = jax.lax.bitcast_convert_type(mbits_ref[0], jnp.int32)
+        laneio = jax.lax.broadcasted_iota(jnp.int32, (BQ, n_words), 1)
+
+        def body(wi, word):
+            # one-hot sum = dynamic lane extraction (sum is exact: one term)
+            sel = jnp.where(laneio == wi, mtile, 0)
+            wcol = jnp.sum(sel, axis=1, keepdims=True)  # (BQ, 1)
+            return jnp.where(word_idx == wi, wcol, word)
+
+        word = jax.lax.fori_loop(
+            wlo, whi + 1, body, jnp.zeros((BQ, BK), jnp.int32)
+        )
+        # sign-bit test: place bit (pix & 31) at bit 31; words outside the
+        # range (incl. pixel >= T_M) stay 0 -> non-negative -> dead
+        shift = jnp.bitwise_and(jnp.bitwise_not(pix), 31)
+        alive = jax.lax.shift_left(word, shift) < 0
+        if oversample != 1.0:
+            rows = rowbase_ref[h, i] + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, 1), 0
+            )
+            w = (rows + 1).astype(jnp.float32)
+            ps = jnp.maximum(jnp.floor(w / oversample + 0.5), 1.0)
+            oys = jnp.clip(w, round(k_cfg), round(k_cfg * oversample)) / k_cfg
+            thr = (1.0 / oys) * 0.5 + 1e-4
+            xs1 = colio + (bk * BK + 1).astype(jnp.float32)
+            frac = xs1 / w * ps
+            keep = jnp.abs(frac - jnp.floor(frac + 0.5)) <= thr
+            alive = alive & keep
+        s = jnp.where(alive, s, DEAD)
+
+        m_prev = m_scr[:, 0:1]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        corr = jnp.exp(m_prev - m_cur)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _epilogue():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        scale = scale_ref[0][:, 0:1].astype(jnp.float32)
+        o_ref[0] = (acc_scr[:] / safe_l * scale).astype(o_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -763,7 +911,7 @@ def sea_block_sparse_attention(
     sub_block: int = 128,
     oversample: float = 1.0,
     k_cfg: float = 64.0,
-    impl: str = "flat",  # 'flat' | 'subtile' (causal-only knob)
+    impl: str = "flat",  # 'flat' | 'flat_wr' | 'flat_fori' | 'subtile' (causal-only)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused sparse attention: softmax(mask(q.k^T)) . v * scaler.
@@ -844,7 +992,7 @@ def sea_block_sparse_attention(
                 oversample=oversample,
                 k_cfg=k_cfg,
             )
-        elif impl == "flat_wr":
+        elif impl in ("flat_wr", "flat_fori"):
             counts, idx = tile_activity_lists(
                 mask_m, T_SRC, True, block_q, block_k, row_widths=row_widths
             )
@@ -853,7 +1001,8 @@ def sea_block_sparse_attention(
                 row_widths=row_widths,
             )
             kernel = functools.partial(
-                _causal_kernel_flat_wr,
+                _causal_kernel_flat_wr if impl == "flat_wr"
+                else _causal_kernel_flat_fori,
                 t_m=T_M,
                 block_q=block_q,
                 block_k=block_k,
@@ -911,8 +1060,10 @@ def sea_block_sparse_attention(
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
             ] + ([pltpu.VMEM((block_q, 128), jnp.float32)]
-                 if impl in ("flat", "flat_wr") else [])
-            + ([pltpu.VMEM((block_q, block_k), jnp.uint32)]
+                 if impl in ("flat", "flat_wr", "flat_fori") else [])
+            + ([pltpu.VMEM((block_q, block_k), jnp.float32)]
+               if impl in ("flat", "flat_wr") else [])
+            + ([pltpu.VMEM((block_q, block_k), jnp.int32)]
                if impl == "flat_wr" else []),
         )
         out = pl.pallas_call(

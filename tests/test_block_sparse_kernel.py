@@ -200,7 +200,7 @@ def test_kernel_nonmultiple_lengths_padded():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-@pytest.mark.parametrize("impl", ["flat", "subtile", "flat_wr"])
+@pytest.mark.parametrize("impl", ["flat", "subtile", "flat_wr", "flat_fori"])
 def test_kernel_impls_match_oracle(impl):
     q, k, v, mask, scaler = make_case(T=256, T_M=32, density=0.3)
     got = sea_block_sparse_attention(
@@ -211,15 +211,17 @@ def test_kernel_impls_match_oracle(impl):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_flat_wr_multiword_oracle():
-    """flat_wr at T_M=256 (8 packed mask words): the per-tile word-range
-    predication (_tile_word_ranges corner math + wlo|whi<<8 packing) is
-    degenerate at n_words=1, so the T_M=32 parametrized case above never
-    exercises it — this canary does (T=512 keeps interpret mode fast)."""
+@pytest.mark.parametrize("impl", ["flat_wr", "flat_fori"])
+def test_word_range_multiword_oracle(impl):
+    """flat_wr/flat_fori at T_M=256 (8 packed mask words): the per-tile
+    word-range machinery (_tile_word_ranges corner math + wlo|whi<<8
+    packing, and flat_fori's dynamic-trip word loop) is degenerate at
+    n_words=1, so the T_M=32 parametrized case above never exercises it —
+    this canary does (T=512 keeps interpret mode fast)."""
     q, k, v, mask, scaler = make_case(T=512, T_M=256, density=0.25)
     got = sea_block_sparse_attention(
         q, k, v, mask, scaler, is_causal=True, block_q=128, block_k=128,
-        impl="flat_wr", interpret=True,
+        impl=impl, interpret=True,
     )
     want = dense_reference(q, k, v, mask, scaler, is_causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
