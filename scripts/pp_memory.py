@@ -1,0 +1,121 @@
+"""Pipeline-schedule activation-memory comparison on the virtual CPU mesh.
+
+Measures XLA's compiled temp buffer size (memory_analysis().temp_size_in_bytes
+— the activation/workspace high-water, excluding the params and inputs) for
+the combined fwd+bwd step of each pipeline schedule at a geometry where
+M x activation is the dominant term. GPipe under jax.grad keeps every
+microbatch's stage activations live between the forward scan and its
+transpose; per-layer remat drops the within-layer residuals; the explicit
+1F1B schedule (`pipeline_1f1b_value_and_grad`) additionally bounds the
+stage-input stash to its in-flight window (S+1 slots, independent of M).
+
+Run: python scripts/pp_memory.py   (forces the 8-device CPU mesh)
+Prints one JSON line per (schedule, M).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from sea_tpu.parallel.pp import (
+    make_pp_mesh,
+    pipeline_1f1b_value_and_grad,
+    pipeline_layers,
+    pipeline_layers_interleaved,
+    sim_1f1b_schedule,
+)
+
+S, L, N, T, D, C = 4, 8, 16, 1024, 256, 64
+EXP = 4  # MLP expansion: per-layer residuals are EXP x the boundary act
+
+
+def build(mesh, M, schedule):
+    rng = np.random.default_rng(0)
+    lv = {
+        "w1": jnp.asarray(rng.standard_normal((L, D, EXP * D)), jnp.float32) * 0.05,
+        "w2": jnp.asarray(rng.standard_normal((L, EXP * D, D)), jnp.float32) * 0.05,
+    }
+    hv = {"wo": jnp.asarray(rng.standard_normal((D, C)), jnp.float32) * 0.1}
+    h = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    head_args = {"y": jnp.asarray(rng.integers(0, C, (N, T)), jnp.int32)}
+
+    def layer_apply(p, x, bnd):
+        y = jnp.tanh(x @ p["w1"]) @ p["w2"] + x
+        return y, jnp.float32(0.0)
+
+    def head_loss(hvars, y_mb, ha):
+        lp = jax.nn.log_softmax(y_mb @ hvars["wo"], -1)
+        return -jnp.mean(jnp.sum(jax.nn.one_hot(ha["y"], C) * lp, -1))
+
+    la = layer_apply
+    if schedule.endswith("+remat"):
+        la = jax.checkpoint(layer_apply, prevent_cse=False)
+
+    if schedule.startswith("1f1b"):
+        fn = lambda lv_, hv_, h_: pipeline_1f1b_value_and_grad(
+            la, head_loss, lv_, hv_, h_, {}, head_args,
+            mesh=mesh, num_microbatches=M,
+        )[0]
+        return jax.jit(fn), (lv, hv, h)
+
+    if schedule.startswith("interleaved"):
+        def loss(lv_, hv_, h_):
+            out, _ = pipeline_layers_interleaved(
+                la, lv_, h_, {}, mesh=mesh, num_microbatches=M, num_chunks=2
+            )
+            return head_loss(hv_, out, head_args)
+    else:
+        def loss(lv_, hv_, h_):
+            out, _ = pipeline_layers(
+                la, lv_, h_, {}, mesh=mesh, num_microbatches=M
+            )
+            return head_loss(hv_, out, head_args)
+
+    return jax.jit(jax.grad(loss, argnums=(0, 1, 2))), (lv, hv, h)
+
+
+def main():
+    mesh = make_pp_mesh(dp=1, pp=S, devices=jax.devices()[:S])
+    act_mb = {M: N // M * T * D * 4 for M in (4, 8)}
+    for M in (4, 8):
+        f_tab, _ = sim_1f1b_schedule(S, M)
+        for sched in (
+            "gpipe",
+            "gpipe+remat",
+            "interleaved+remat",
+            "1f1b",
+        ):
+            fn, args = build(mesh, M, sched)
+            stats = fn.lower(*args).compile().memory_analysis()
+            print(
+                json.dumps(
+                    {
+                        "schedule": sched,
+                        "M": M,
+                        "temp_MiB": round(stats.temp_size_in_bytes / 2**20, 1),
+                        "microbatch_act_MiB": round(act_mb[M] / 2**20, 2),
+                        "ticks": int(
+                            f_tab.shape[0] if sched == "1f1b" else (
+                                2 * M + S - 1 if sched == "interleaved+remat"
+                                else M + S - 1
+                            )
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,14 +17,20 @@ adds the cross-layer axis, TPU-style:
     S-1; the classic GPipe bubble is (S-1)/(M+S-1) of the ticks.
   * Everything is differentiable (`ppermute`/`scan` have transposes), so
     the same function serves benchmark forward and task-loss training.
-  * Schedules: plain GPipe (`pipeline_layers`, bubble (S-1)/(M+S-1)) and
+  * Schedules: plain GPipe (`pipeline_layers`, bubble (S-1)/(M+S-1)),
     the interleaved/looped schedule (`pipeline_layers_interleaved`, V
-    chunks per stage, bubble (S-1)/(V·M+S-1)). True 1F1B is a
-    *backward*-interleaving schedule; under JAX the backward program is
-    produced by AD, so its per-microbatch staging cannot be hand-ordered
-    — the interleaved forward captures 1F1B's bubble reduction, and
-    1F1B's other benefit (activation memory) is covered by per-layer
-    remat (`use_remat`) instead.
+    chunks per stage, bubble (S-1)/(V·M+S-1)), and true 1F1B
+    (`pipeline_1f1b_value_and_grad`). The first two are differentiable
+    forwards — outer AD produces a GPipe-ordered backward, so all M
+    microbatches' stage activations stay live between the forward scan
+    and its transpose (per-layer remat via `use_remat` drops the
+    within-layer residuals but not the M-deep window). 1F1B sidesteps
+    outer AD entirely: one combined fwd+bwd scan over the host-simulated
+    PipeDream-flush schedule (`sim_1f1b_schedule`), per-stage jax.vjp
+    with recompute at backward ticks, and an in-flight stash bounded by
+    the window S - s — activation memory O(S), independent of M
+    (measured 2-3x below GPipe+remat, 9-12x below plain GPipe at pp4:
+    scripts/pp_memory.py, RESULTS.md).
 
 Works for both model families: OPT (`models/opt.py`) and LLaMA
 (`models/llama.py`) expose identical `embed / layer(h, bundle) /
@@ -365,6 +371,311 @@ def pipeline_layers_interleaved(
         check_vma=False,
     )(chunked_vars, h_m, bundle_m)
     return outs.reshape(N, *outs.shape[2:]), aux
+
+
+def sim_1f1b_schedule(S: int, M: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side greedy simulation of the synchronous 1F1B (PipeDream-flush)
+    schedule: one op (F or B) per stage per tick, backward preferred when
+    ready, forwards capped by the per-stage in-flight window S - s. Returns
+    int32 tables (T, S): f_m[t, s] / b_m[t, s] = microbatch id, -1 = idle.
+
+    The window cap is what distinguishes 1F1B from GPipe: a stage never
+    holds more than S - s microbatches between forward and backward, so
+    the activation stash is O(S), not O(M)."""
+    done_f = np.full((S, M), -1)  # tick at which F(s, m) completed
+    done_b = np.full((S, M), -1)
+    next_f = [0] * S
+    next_b = [0] * S
+    f_tab, b_tab = [], []
+    t = 0
+    while any(nb < M for nb in next_b):
+        assert t < 4 * (M + S) + 8, "1F1B schedule simulation did not drain"
+        f_row, b_row = [-1] * S, [-1] * S
+        for s in range(S):
+            m_b = next_b[s]
+            b_ready = m_b < M and (
+                done_f[s][m_b] >= 0 and done_f[s][m_b] < t
+                if s == S - 1
+                else done_b[s + 1][m_b] >= 0 and done_b[s + 1][m_b] < t
+            )
+            m_f = next_f[s]
+            f_ready = (
+                m_f < M
+                and (s == 0 or (done_f[s - 1][m_f] >= 0 and done_f[s - 1][m_f] < t))
+                and (next_f[s] - next_b[s]) < (S - s)
+            )
+            if b_ready:
+                b_row[s] = m_b
+                done_b[s][m_b] = t
+                next_b[s] += 1
+            elif f_ready:
+                f_row[s] = m_f
+                done_f[s][m_f] = t
+                next_f[s] += 1
+        f_tab.append(f_row)
+        b_tab.append(b_row)
+        t += 1
+    return np.asarray(f_tab, np.int32), np.asarray(b_tab, np.int32)
+
+
+def pipeline_1f1b_value_and_grad(
+    layer_apply,
+    head_loss,
+    layer_vars,
+    head_vars,
+    h,
+    bundle,
+    head_args,
+    *,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis: str = "pp",
+    dp_axis: Optional[str] = None,
+):
+    """True 1F1B: ONE combined forward+backward pass with the PipeDream-
+    flush schedule, computed as an explicit gradient (per-stage jax.vjp at
+    backward ticks) rather than outer AD over a forward schedule.
+
+    Why it exists: `pipeline_layers` under jax.grad is GPipe — all M
+    microbatches' stage activations stay live between the forward scan and
+    its transpose. Here a stage stashes only its in-flight window (at most
+    S - s stage-input activations, statically S + 1 slots) and re-derives
+    the rest by recompute inside the per-microbatch vjp, so activation
+    memory is O(S · microbatch), independent of M — the 1F1B memory
+    property (measured: scripts/pp_memory.py).
+
+    layer_apply(one_layer_vars, h_mb, bundle_mb) -> (h_mb', aux) as in
+    `pipeline_layers`. head_loss(head_vars, h_out_mb, head_args_mb) ->
+    scalar loss for one microbatch (e.g. finalize + logits + CE); it runs
+    on the last stage at each backward tick and seeds the cotangent.
+    head_args leaves with a leading batch dim are microbatch-sliced like
+    bundle. h must be a single array here (the KD pair carry of
+    `pipeline_layers` is not supported on this schedule yet).
+
+    Returns (loss_mean, aux_mean, (d_layer_vars, d_head_vars, d_h)):
+    loss_mean = mean over microbatches of head_loss; gradients are of
+    M·loss_mean = sum of per-microbatch losses, scaled by 1/M, i.e. they
+    match jax.grad of the equivalent GPipe loss. d_h lets the caller run
+    the embedding backward (jax.vjp of the embed at h) outside.
+    """
+    S = mesh.shape[axis]
+    M = num_microbatches
+    tmap = jax.tree_util.tree_map
+    N = h.shape[0]
+    num_layers = jax.tree_util.tree_leaves(layer_vars)[0].shape[0]
+    assert num_layers % S == 0, (num_layers, S)
+    f_tab, b_tab = sim_1f1b_schedule(S, M)
+    T_ticks = f_tab.shape[0]
+    W = S + 1  # stash slots (in-flight ≤ S - s, +1 against receive overlap)
+
+    h_m = _micro_reshape(h, M)
+    def micro_or_keep(b):
+        return (
+            _micro_reshape(b, M)
+            if hasattr(b, "ndim") and b.ndim >= 1 and b.shape[0] == N
+            else b
+        )
+    bundle_m = tmap(micro_or_keep, bundle)
+    head_args_m = tmap(micro_or_keep, head_args)
+    is_micro_b = tmap(
+        lambda b: hasattr(b, "ndim") and b.ndim >= 1 and b.shape[0] == N, bundle
+    )
+    is_micro_ha = tmap(
+        lambda b: hasattr(b, "ndim") and b.ndim >= 1 and b.shape[0] == N,
+        head_args,
+    )
+
+    # receive-slot tables (host-side): the fwd message stage s reads at the
+    # START of tick t+1 was sent by stage s-1 at tick t carrying microbatch
+    # f_tab[t, s-1]; slot = m % W, trash slot W when idle or edge stage.
+    recv_f = np.full((T_ticks, S), W, np.int32)
+    recv_b = np.full((T_ticks, S), W, np.int32)
+    for t in range(T_ticks):
+        for s in range(S):
+            if s > 0 and f_tab[t, s - 1] >= 0:
+                recv_f[t, s] = f_tab[t, s - 1] % W
+            if s < S - 1 and b_tab[t, s + 1] >= 0:
+                recv_b[t, s] = b_tab[t, s + 1] % W
+
+    mb_spec = P(None, dp_axis) if dp_axis is not None else P()
+
+    def bspec(micro):
+        return mb_spec if micro else P()
+
+    in_specs = (
+        pp_stage_specs(layer_vars, axis),
+        tmap(lambda _: P(), head_vars),
+        mb_spec,
+        tmap(bspec, is_micro_b),
+        tmap(bspec, is_micro_ha),
+    )
+    out_specs = (
+        P(),  # loss
+        P(),  # aux
+        pp_stage_specs(layer_vars, axis),
+        tmap(lambda _: P(), head_vars),
+        mb_spec,  # d_h (M, mb, ...)
+    )
+
+    def stage_fn(lv, hv, hm, bm, ham):
+        stage = lax.axis_index(axis)
+
+        def slice_tree(tree, is_micro, m):
+            return tmap(
+                lambda b, micro: lax.dynamic_index_in_dim(
+                    b, m, 0, keepdims=False
+                )
+                if micro
+                else b,
+                tree,
+                is_micro,
+            )
+
+        def run_local(lv_, x, bundle_t):
+            def body(c, p):
+                y, aux = layer_apply(p, c, bundle_t)
+                return y, aux
+
+            y, auxs = lax.scan(body, x, lv_)
+            return y, jnp.sum(auxs, axis=0)
+
+        mb_shape = jax.eval_shape(lambda x: x[0], hm).shape  # (mb, ...)
+        aux0 = jnp.zeros(
+            jax.eval_shape(
+                lambda x, b: run_local(lv, x, b)[1],
+                jnp.zeros(mb_shape, h.dtype),
+                slice_tree(bm, is_micro_b, 0),
+            ).shape,
+            jnp.float32,
+        )
+
+        def tick(carry, xs):
+            (stash, cot_buf, d_lv, d_hv, d_h, loss_t, aux_t) = carry
+            fm_row, bm_row, rf_row, rb_row = xs
+            fm = lax.dynamic_index_in_dim(fm_row, stage, 0, keepdims=False)
+            bmb = lax.dynamic_index_in_dim(bm_row, stage, 0, keepdims=False)
+            rf = lax.dynamic_index_in_dim(rf_row, stage, 0, keepdims=False)
+            rb = lax.dynamic_index_in_dim(rb_row, stage, 0, keepdims=False)
+
+            # ---- forward op (fm >= 0) ----
+            def do_f(stash):
+                m = fm
+                slot = m % W
+                x_inj = lax.dynamic_index_in_dim(hm, m, 0, keepdims=False)
+                x_buf = lax.dynamic_index_in_dim(stash, slot, 0, keepdims=False)
+                x = jnp.where(stage == 0, x_inj, x_buf)
+                y, aux = run_local(lv, x, slice_tree(bm, is_micro_b, m))
+                stash = lax.dynamic_update_index_in_dim(stash, x, slot, 0)
+                return stash, y, aux
+
+            def no_f(stash):
+                return stash, jnp.zeros(mb_shape, h.dtype), aux0
+
+            stash, y_msg, aux = lax.cond(fm >= 0, do_f, no_f, stash)
+            aux_t = aux_t + aux
+
+            # ---- backward op (bmb >= 0) ----
+            def do_b(args):
+                d_lv, d_hv, d_h, loss_t = args
+                m = bmb
+                x = lax.dynamic_index_in_dim(stash, m % W, 0, keepdims=False)
+                bnd = slice_tree(bm, is_micro_b, m)
+
+                def fwd_only(lv_, x_):
+                    return run_local(lv_, x_, bnd)[0]
+
+                y, pull = jax.vjp(fwd_only, lv, x)
+
+                def head_seed(_):
+                    ha = slice_tree(ham, is_micro_ha, m)
+                    loss_m, head_pull = jax.vjp(
+                        lambda hv_, y_: head_loss(hv_, y_, ha), hv, y
+                    )
+                    g_hv, g_y = head_pull(jnp.float32(1.0))
+                    return g_y.astype(y.dtype), g_hv, loss_m
+
+                def mid_seed(_):
+                    g_y = lax.dynamic_index_in_dim(
+                        cot_buf, m % W, 0, keepdims=False
+                    )
+                    return g_y, tmap(jnp.zeros_like, hv), jnp.float32(0.0)
+
+                g_y, g_hv, loss_m = lax.cond(
+                    stage == S - 1, head_seed, mid_seed, 0
+                )
+                g_lv, g_x = pull(g_y)
+                d_lv = tmap(jnp.add, d_lv, g_lv)
+                d_hv = tmap(jnp.add, d_hv, g_hv)
+                loss_t = loss_t + loss_m
+                # only stage 0's input cotangent is the caller's d_h; other
+                # stages keep zeros and the final psum picks stage 0's
+                d_h = lax.dynamic_update_index_in_dim(
+                    d_h, jnp.where(stage == 0, g_x, jnp.zeros_like(g_x)), m, 0
+                )
+                return (d_lv, d_hv, d_h, loss_t), g_x
+
+            def no_b(args):
+                return args, jnp.zeros(mb_shape, h.dtype)
+
+            (d_lv, d_hv, d_h, loss_t), dx_msg = lax.cond(
+                bmb >= 0, do_b, no_b, (d_lv, d_hv, d_h, loss_t)
+            )
+
+            # ---- ring exchange (collectives run unconditionally) ----
+            f_recv = lax.ppermute(
+                y_msg, axis, [(i, (i + 1) % S) for i in range(S)]
+            )
+            b_recv = lax.ppermute(
+                dx_msg, axis, [(i, (i - 1) % S) for i in range(S)]
+            )
+            stash = lax.dynamic_update_index_in_dim(stash, f_recv, rf, 0)
+            cot_buf = lax.dynamic_update_index_in_dim(cot_buf, b_recv, rb, 0)
+            return (stash, cot_buf, d_lv, d_hv, d_h, loss_t, aux_t), None
+
+        carry0 = (
+            jnp.zeros((W + 1,) + mb_shape, h.dtype),  # stash (+ trash slot)
+            jnp.zeros((W + 1,) + mb_shape, h.dtype),  # cotangent buffer
+            tmap(jnp.zeros_like, lv),
+            tmap(jnp.zeros_like, hv),
+            jnp.zeros((M,) + mb_shape, h.dtype),  # d_h per microbatch
+            jnp.float32(0.0),
+            aux0,
+        )
+        xs = (
+            jnp.asarray(f_tab),
+            jnp.asarray(b_tab),
+            jnp.asarray(recv_f),
+            jnp.asarray(recv_b),
+        )
+        (_, _, d_lv, d_hv, d_h, loss_t, aux_t), _ = lax.scan(
+            tick, carry0, xs
+        )
+        loss = lax.psum(loss_t, axis) / jnp.float32(M)
+        aux = lax.psum(aux_t, axis) / jnp.float32(num_layers * M)
+        d_hv = tmap(lambda g: lax.psum(g, axis), d_hv)
+        d_h = lax.psum(d_h, axis)  # only stage 0 wrote non-zeros
+        if dp_axis is not None:
+            loss = lax.pmean(loss, dp_axis)
+            aux = lax.pmean(aux, dp_axis)
+            d_lv = tmap(lambda g: lax.pmean(g, dp_axis), d_lv)
+            d_hv = tmap(lambda g: lax.pmean(g, dp_axis), d_hv)
+            # d_h rows stay dp-local but the loss is the dp-mean
+            d_h = d_h / jnp.float32(mesh.shape[dp_axis])
+        scale = 1.0 / jnp.float32(M)
+        d_lv = tmap(lambda g: g * scale, d_lv)
+        d_hv = tmap(lambda g: g * scale, d_hv)
+        d_h = d_h * scale
+        return loss, aux, d_lv, d_hv, d_h
+
+    loss, aux, d_lv, d_hv, d_h = shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )(layer_vars, head_vars, h_m, bundle_m, head_args_m)
+    d_h = d_h.reshape(N, *d_h.shape[2:])
+    return loss, aux, (d_lv, d_hv, d_h)
 
 
 def split_scan_vars(variables) -> Tuple[Dict[str, Any], Dict[str, Any]]:

@@ -383,3 +383,144 @@ def test_pp_kd_27b_geometry_graph_builds():
         for s in jax.tree_util.tree_leaves(s_shapes["params"])
     )
     assert 2.2e9 < n_params < 3.6e9, n_params
+
+
+# ---------------------------------------------------------------------------
+# 1F1B (PipeDream-flush) schedule
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("S,M", [(2, 2), (4, 4), (4, 8), (3, 5), (4, 1)])
+def test_1f1b_schedule_properties(S, M):
+    """The host-simulated schedule must (a) run every F/B exactly once,
+    (b) respect dataflow (F(s,m) after F(s-1,m); B(s,m) after B(s+1,m);
+    B(S-1,m) after F(S-1,m)), (c) bound in-flight microbatches by the
+    1F1B window S - s, and (d) take no longer than GPipe's serial
+    fwd+bwd 2(M+S-1) ticks."""
+    from sea_tpu.parallel.pp import sim_1f1b_schedule
+
+    f, b = sim_1f1b_schedule(S, M)
+    T = f.shape[0]
+    assert T <= 2 * (M + S - 1)
+    t_f = np.full((S, M), -1)
+    t_b = np.full((S, M), -1)
+    for t in range(T):
+        for s in range(S):
+            if f[t, s] >= 0:
+                assert t_f[s, f[t, s]] == -1  # exactly once
+                t_f[s, f[t, s]] = t
+            if b[t, s] >= 0:
+                assert t_b[s, b[t, s]] == -1
+                t_b[s, b[t, s]] = t
+    assert (t_f >= 0).all() and (t_b >= 0).all()
+    for s in range(S):
+        for m in range(M):
+            if s > 0:
+                assert t_f[s, m] > t_f[s - 1, m]
+            if s < S - 1:
+                assert t_b[s, m] > t_b[s + 1, m]
+        assert (t_b[S - 1] > t_f[S - 1]).all()
+        # in-flight window: #{m: F done, B not done} <= S - s at all times
+        for t in range(T):
+            in_flight = sum(
+                1 for m in range(M) if t_f[s, m] <= t and t_b[s, m] > t
+            )
+            assert in_flight <= S - s, (s, t, in_flight)
+
+
+@pytest.mark.parametrize("M", [4, 8])
+def test_1f1b_value_and_grad_matches_gpipe(M):
+    """The explicit combined-pass 1F1B must produce the same loss, aux and
+    gradients (layer params, head params, pipeline input) as jax.grad of
+    the GPipe forward + head — while stashing only its in-flight window."""
+    from sea_tpu.parallel.pp import (
+        pipeline_1f1b_value_and_grad,
+        pipeline_layers,
+    )
+
+    S, L, N, T, D, C = 4, 4, 8, 16, 32, 7
+    mesh = make_pp_mesh(dp=1, pp=S, devices=jax.devices()[:S])
+    rng = np.random.default_rng(0)
+    lv = {
+        "w": jnp.asarray(rng.standard_normal((L, D, D)), jnp.float32) * 0.2,
+        "b": jnp.asarray(rng.standard_normal((L, D)), jnp.float32) * 0.1,
+    }
+    hv = {"wo": jnp.asarray(rng.standard_normal((D, C)), jnp.float32) * 0.3}
+    h = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    bundle = {"gate": jnp.asarray(rng.uniform(0.5, 1.5, (N, T, 1)), jnp.float32)}
+    head_args = {"y": jnp.asarray(rng.integers(0, C, (N, T)), jnp.int32)}
+
+    def layer_apply(p, x, bnd):
+        y = jnp.tanh(x @ p["w"] + p["b"]) * bnd["gate"] + x
+        return y, jnp.mean(y.astype(jnp.float32) ** 2)
+
+    def head_loss(hvars, y_mb, ha):
+        lp = jax.nn.log_softmax(y_mb @ hvars["wo"], -1)
+        onehot = jax.nn.one_hot(ha["y"], C)
+        return -jnp.mean(jnp.sum(onehot * lp, -1))
+
+    def gpipe_loss(lv_, hv_, h_):
+        out, aux = pipeline_layers(
+            layer_apply, lv_, h_, bundle, mesh=mesh, num_microbatches=M
+        )
+        return head_loss(hv_, out, head_args), aux
+
+    (l_ref, aux_ref), g_ref = jax.jit(
+        jax.value_and_grad(gpipe_loss, argnums=(0, 1, 2), has_aux=True)
+    )(lv, hv, h)
+    loss, aux, (d_lv, d_hv, d_h) = jax.jit(
+        lambda lv_, hv_, h_: pipeline_1f1b_value_and_grad(
+            layer_apply, head_loss, lv_, hv_, h_, bundle, head_args,
+            mesh=mesh, num_microbatches=M,
+        )
+    )(lv, hv, h)
+    np.testing.assert_allclose(float(loss), float(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-6)
+    for k in ("w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(d_lv[k]), np.asarray(g_ref[0][k]), atol=2e-6, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(d_hv["wo"]), np.asarray(g_ref[1]["wo"]), atol=2e-6
+    )
+    np.testing.assert_allclose(np.asarray(d_h), np.asarray(g_ref[2]), atol=2e-6)
+
+
+def test_1f1b_dp_composed():
+    """pp4 x dp2: dp-sharded rows with pmean'd grads must equal the
+    dp=1 result."""
+    from sea_tpu.parallel.pp import pipeline_1f1b_value_and_grad
+
+    S, L, N, T, D, C, M = 4, 4, 8, 16, 32, 7, 4
+    rng = np.random.default_rng(1)
+    lv = {"w": jnp.asarray(rng.standard_normal((L, D, D)), jnp.float32) * 0.2}
+    hv = {"wo": jnp.asarray(rng.standard_normal((D, C)), jnp.float32) * 0.3}
+    h = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    bundle = {}
+    head_args = {"y": jnp.asarray(rng.integers(0, C, (N, T)), jnp.int32)}
+
+    def layer_apply(p, x, bnd):
+        return jnp.tanh(x @ p["w"]) + x, jnp.float32(0.0)
+
+    def head_loss(hvars, y_mb, ha):
+        lp = jax.nn.log_softmax(y_mb @ hvars["wo"], -1)
+        return -jnp.mean(jnp.sum(jax.nn.one_hot(ha["y"], C) * lp, -1))
+
+    def run(mesh, dp_axis):
+        return jax.jit(
+            lambda lv_, hv_, h_: pipeline_1f1b_value_and_grad(
+                layer_apply, head_loss, lv_, hv_, h_, bundle, head_args,
+                mesh=mesh, num_microbatches=M, dp_axis=dp_axis,
+            )
+        )(lv, hv, h)
+
+    from sea_tpu.parallel.pp import make_pp_mesh
+
+    l1, _, (g1, gh1, dh1) = run(
+        make_pp_mesh(dp=1, pp=4, devices=jax.devices()[:4]), None
+    )
+    l2, _, (g2, gh2, dh2) = run(make_pp_mesh(dp=2, pp=4), "dp")
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1["w"]), np.asarray(g2["w"]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gh1["wo"]), np.asarray(gh2["wo"]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dh1), np.asarray(dh2), atol=2e-6)
