@@ -29,13 +29,21 @@ def main():
     p.add_argument("--logit-chunk", type=int, default=0,
                    help="stream the task CE per chunk (at T=32k the full "
                         "f32 logits alone are ~6.6 GB and OOM the chip)")
+    p.add_argument("--cnn-chunk", type=int, default=0,
+                   help="row-chunk the predictor CausalConv2d stack "
+                        "(exact; needed at T=64k where the unchunked conv's "
+                        "XLA padding requests ~31 GB)")
     args = p.parse_args()
 
     from sea_tpu.config import opt_config
     from sea_tpu.models.opt import OptConfig, OptForCausalLM
 
     T = args.t
-    sea = opt_config(use_fused_train=True, max_position_embeddings=T)
+    sea = opt_config(
+        use_fused_train=True,
+        max_position_embeddings=T,
+        cnn_row_chunk=args.cnn_chunk,
+    )
     cfg = OptConfig(
         attention_method="perlin",
         num_layers=args.layers,

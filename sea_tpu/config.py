@@ -53,6 +53,12 @@ class SeaConfig:
     # deeper 3-conv causal CNN stack (reference env PERLIN_HOTFIX_OPT_DEEPER,
     # attention.py:252-271)
     cnn_deeper: bool = False
+    # run the causal predictor CNN in row chunks of this size (0 = whole T):
+    # the stack's causal receptive field is 4 rows per dilated conv, so
+    # overlap-discard chunking is exact; at T >= 64k the unchunked conv's
+    # XLA small-channel padding requests ~31 GB HBM (docs/kernel_design.md
+    # "Sequence-length ceiling") while chunks bound it by chunk/T
+    cnn_row_chunk: int = 0
     # distill against the student's own detached dense scores instead of a
     # teacher (reference env KD_SELF_TEACHER, attention.py:370-377)
     kd_self_teacher: bool = False

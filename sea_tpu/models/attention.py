@@ -248,17 +248,38 @@ class SeaAttention(nn.Module):
         cfg = self.cfg
         T_M = cfg.predictor_length
         if cfg.causal:
-            y = self.cnn_ln1(x)
-            h_in = y.shape[-2]
-            y = nn.relu(self.cnn_conv1(y))
-            y = nn.relu(self.cnn_conv2(y))
-            if cfg.cnn_deeper:
-                y = nn.relu(self.cnn_conv3(y))
-            y = upsample_nearest(y, (1, 4))
-            y = self.cnn_conv4(y)
-            y = interpolate(y, (h_in, T_M))
-            y = self.cnn_ln2(y)
-            return y
+
+            def stack(y):
+                y = self.cnn_ln1(y)
+                h_in = y.shape[-2]
+                y = nn.relu(self.cnn_conv1(y))
+                y = nn.relu(self.cnn_conv2(y))
+                if cfg.cnn_deeper:
+                    y = nn.relu(self.cnn_conv3(y))
+                y = upsample_nearest(y, (1, 4))
+                y = self.cnn_conv4(y)
+                y = interpolate(y, (h_in, T_M))
+                y = self.cnn_ln2(y)
+                return y
+
+            T = x.shape[-2]
+            C = cfg.cnn_row_chunk
+            if C and T > C and T % C == 0:
+                # overlap-discard chunking over the query-row axis: every
+                # op in `stack` is row-local except the causal convs, whose
+                # look-back is (k-1)*dilation = 4 rows each — a halo of
+                # 4 * n_convs input rows makes each chunk's tail rows exact
+                # (chunk 0's missing halo is the conv's own zero padding).
+                # Bounds the conv's XLA padding blow-up at long T (64k:
+                # docs/kernel_design.md "Sequence-length ceiling").
+                halo = 4 * (3 if cfg.cnn_deeper else 2)
+                outs = []
+                for i in range(T // C):
+                    s0 = i * C
+                    lo = max(0, s0 - halo)
+                    outs.append(stack(x[:, :, lo : s0 + C, :])[:, :, s0 - lo :, :])
+                return jnp.concatenate(outs, axis=-2)
+            return stack(x)
         h_in = x.shape[-2]
         y = nn.relu(self.cnn_conv1(x))
         y = nn.relu(self.cnn_conv2(y))
@@ -298,7 +319,23 @@ class SeaAttention(nn.Module):
         FP_MIN = fp_min_for(q.dtype)
 
         # --- mask plumbing (attention.py:393-447) -------------------------
-        if cfg.causal:
+        if cfg.causal and attention_mask.shape[-1] == 1 and last_state is None:
+            # THIN dst-column form (N, 1, T, 1): the caller chose not to
+            # materialize the (T, T) additive causal mask — 8 GB bf16 at
+            # T=65536 (opt.py embed does this when use_fused_train). Legal
+            # only on the fused causal path, where the kernel derives
+            # causality itself and every mask consumer below reads only
+            # the dst/src padding slices; the dense train/loss consumers
+            # (attention_scores_truth, non-fused interp) need the square
+            # mask and are asserted off.
+            assert cfg.use_fused_train and attention_scores_truth is None and (
+                not cfg.kd_self_teacher
+            ), "thin causal mask requires the fused-train path (no dense loss)"
+            causal_attention_mask = None
+            T_DST = T_SRC = attention_mask.shape[-2]
+            dst_attention_mask = attention_mask
+            attention_mask = jnp.swapaxes(attention_mask, -1, -2)
+        elif cfg.causal:
             assert attention_mask.shape[-2] == attention_mask.shape[-1] or last_state is not None
             causal_attention_mask = attention_mask
             T_DST, T_SRC = causal_attention_mask.shape[-2:]

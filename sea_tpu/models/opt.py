@@ -561,6 +561,16 @@ class OptModel(nn.Module):
         positions = jnp.cumsum(attention_mask_1d, axis=1) * attention_mask_1d - 1
         pos_emb = self.embed_positions((positions + 2).astype(jnp.int32))
         h = (h + pos_emb).astype(jnp.dtype(c.compute_dtype))
+        if c.attention_method == "perlin" and c.sea.use_fused_train:
+            # thin dst-column mask (N, 1, T, 1): the fused train kernel
+            # derives causality itself; materializing the (T, T) additive
+            # mask costs T^2 HBM (8 GB bf16 at T=65536 — the last single-
+            # chip blocker after cnn_row_chunk, docs/kernel_design.md)
+            fpmin = fp_min_for(h.dtype)
+            thin = jnp.where(
+                attention_mask_1d[:, None, :, None] > 0, 0.0, fpmin
+            ).astype(h.dtype)
+            return h, thin
         causal_mask = build_causal_mask(attention_mask_1d, T, h.dtype)
         return h, causal_mask
 

@@ -185,3 +185,22 @@ def test_grad_flows():
     assert leaves
     total = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert np.isfinite(total) and total > 0
+
+
+@pytest.mark.parametrize("deeper", [False, True])
+def test_predictor_cnn_row_chunking_exact(deeper):
+    """cnn_row_chunk overlap-discard chunking must be bit-exact vs the
+    unchunked causal CNN (the T=65536 single-chip enabler — the stack's
+    causal receptive field is 4 rows per dilated conv, so a halo of
+    4*n_convs rows suffices; docs/kernel_design.md)."""
+    cfg0 = small_cfg(causal=True, cnn_deeper=deeper)
+    inputs = make_inputs(cfg0, T=64, seed=3)
+    params, out0 = init_and_run(cfg0, benchmarking=False, inputs=inputs)
+    cfg1 = small_cfg(causal=True, cnn_deeper=deeper, cnn_row_chunk=16)
+    _, out1 = init_and_run(
+        cfg1, benchmarking=False, inputs=inputs, params=params
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out0.context_layer), np.asarray(out1.context_layer)
+    )
+    np.testing.assert_array_equal(float(out0.loss), float(out1.loss))
