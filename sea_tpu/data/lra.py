@@ -22,7 +22,7 @@ import os
 import pickle
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -64,8 +64,18 @@ def _gen_listops_expr(rng, max_depth: int, max_args: int) -> Tuple[List[str], in
 
 def listops_dataset(
     n: int = 2048, max_length: int = 512, max_depth: int = 6,
-    max_args: int = 8, seed: int = 0,
+    max_args: int = 8, seed: int = 0, cache_dir: Optional[str] = "./saves/lra_data",
 ) -> ArrayDataset:
+    # deep paper-scale corpora (depth 10, len 2k) generate at ~40/s on the
+    # host (supercritical-tree rejection); cache by exact parameters
+    cache = None
+    if cache_dir:
+        cache = os.path.join(
+            cache_dir, f"listops_n{n}_L{max_length}_d{max_depth}_a{max_args}_s{seed}.npz"
+        )
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return ArrayDataset(z["ids"], z["mask"], z["tt"], z["labels"])
     rng = np.random.default_rng(seed)
     ids = np.zeros((n, max_length), np.int32)
     mask = np.zeros((n, max_length), np.int32)
@@ -81,6 +91,9 @@ def listops_dataset(
         labels[i] = val
         i += 1
     tt = np.zeros_like(ids)
+    if cache:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez_compressed(cache, ids=ids, mask=mask, tt=tt, labels=labels)
     return ArrayDataset(ids, mask, tt, labels)
 
 

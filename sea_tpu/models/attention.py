@@ -649,13 +649,17 @@ class SeaAttention(nn.Module):
                         # kernel: long-context training scales past one
                         # chip (VERDICT r2 #2); 'ring' keeps K/V and
                         # dk/dv sequence-sharded (per-chip O(T/shards))
+                        from ..parallel.context import resolve_attention_kind
                         from ..parallel.sharded_attention import (
                             head_sharded_fused_train,
                             ring_fused_train_attention,
                             sharded_fused_train_attention,
                         )
 
-                        if shard_ctx.kind == "ring":
+                        kind = resolve_attention_kind(
+                            shard_ctx, t=T_SRC, oversample=cfg.k_oversample
+                        )
+                        if kind == "ring":
                             partial_context_layer = (
                                 ring_fused_train_attention(
                                     q_kern, k_for_score, v, mask_bin,
@@ -667,7 +671,7 @@ class SeaAttention(nn.Module):
                                     interp,
                                 )
                             )
-                        elif shard_ctx.kind == "head":
+                        elif kind == "head":
                             partial_context_layer = head_sharded_fused_train(
                                 q_kern, k_for_score, v, mask_bin, scaler_arr,
                                 shard_ctx.mesh, axis=shard_ctx.axis,
@@ -707,7 +711,12 @@ class SeaAttention(nn.Module):
                         if row_scaler is not None
                         else jnp.ones((N, H, T_DST), q.dtype)
                     )
-                    if shard_ctx.kind == "head":
+                    from ..parallel.context import resolve_attention_kind
+
+                    kind = resolve_attention_kind(
+                        shard_ctx, t=T_SRC, oversample=cfg.k_oversample
+                    )
+                    if kind == "head":
                         partial_context_layer = head_sharded_sea_attention(
                             q_kern, k_for_score, v, mask_bin, scaler_arr,
                             shard_ctx.mesh, axis=shard_ctx.axis,
@@ -716,7 +725,7 @@ class SeaAttention(nn.Module):
                             oversample=cfg.k_oversample,
                             k_cfg=float(cfg.effective_k), interpret=interp,
                         )
-                    elif shard_ctx.kind == "ring":
+                    elif kind == "ring":
                         # K/V-sharded ring: per-chip K/V O(T/shards)
                         from ..parallel.sharded_attention import (
                             ring_sea_attention,

@@ -40,6 +40,11 @@ class BertConfig:
     num_labels: int = 2
     layer_norm_eps: float = 1e-12
     attention_method: str = "perlin"
+    # rematerialize each encoder layer in backward: the dense path's
+    # per-layer (N, H, T, T) score tensors otherwise all stay live between
+    # forward and backward — at LRA lengths (T=2048) that is the binding
+    # memory term (teacher KD captures are remat OUTPUTS and stay saved)
+    remat_layers: bool = False
     # ToMe token merging around the FFN (reference perlin_bert.py:826-970)
     token_merging: bool = False
     token_merging_preserve_ratio: float = 0.5
@@ -359,10 +364,21 @@ class BertModel(nn.Module):
                 rng, layer_rng = jax.random.split(rng)
             else:
                 layer_rng = None
-            h, aux, capture = layer(
-                h, mask, teacher,
-                benchmarking=benchmarking, training=training, rng=layer_rng,
-            )
+            if self.cfg.remat_layers:
+                def run_layer(mdl, h_, mask_, teacher_, rng_):
+                    return mdl(
+                        h_, mask_, teacher_,
+                        benchmarking=benchmarking, training=training, rng=rng_,
+                    )
+
+                h, aux, capture = nn.remat(run_layer, prevent_cse=False)(
+                    layer, h, mask, teacher, layer_rng
+                )
+            else:
+                h, aux, capture = layer(
+                    h, mask, teacher,
+                    benchmarking=benchmarking, training=training, rng=layer_rng,
+                )
             if output_hidden_states:
                 hidden_states.append(h)
             if aux is not None:

@@ -30,13 +30,43 @@ _TLS = threading.local()
 class AttnShardingContext:
     mesh: Mesh
     axis: str = "sp"
-    kind: str = "seq"  # 'seq' (zigzag row blocks) | 'head' | 'ring'
+    kind: str = "auto"  # 'auto' | 'seq' (zigzag row blocks) | 'head' | 'ring'
     #   'ring': K/V stay sequence-sharded and rotate via ppermute —
     #   per-chip K/V memory O(T/shards); differentiable on the
     #   use_fused_train path (dk/dv ring home with their chunks)
+    #   'auto': resolve_attention_kind picks 'ring' at long T, else 'seq'
     zigzag: bool = True
     block_q: Optional[int] = None
     block_k: Optional[int] = None
+
+
+# 'seq' replicates full K/V on every shard (SEA's mask is global, so there
+# is no bounded halo): per-shard K/V cost is O(T) regardless of the shard
+# count, 2*N*H*T*D*dtype bytes. 'ring' keeps K/V (and dk/dv in the
+# differentiable variant) sequence-sharded at the price of S ppermute hops
+# and a per-window logsumexp recombination. Below this T the replicated
+# K/V is a few MB and the ring hops are pure overhead; above it K/V
+# replication starts to crowd out activations on a 16 GB chip
+# (T=16384, H=12, D=64 bf16 -> 50 MB per layer per direction; by T=65536
+# it is 800 MB across a 12-layer scan's live window). Override per-run via
+# sharded_attention_scope(kind=...); the rule is documented in
+# docs/operations.md.
+RING_MIN_T = 16384
+
+
+def resolve_attention_kind(
+    ctx: "AttnShardingContext", *, t: int, oversample: float = 1.0
+) -> str:
+    """Resolve kind='auto' by (T, shard count): 'ring' when the sequence is
+    long enough that per-shard K/V replication dominates, 'seq' otherwise.
+    'ring' does not implement the k_oversample keep-predicate, so any
+    oversampled config stays on 'seq'."""
+    if ctx.kind != "auto":
+        return ctx.kind
+    n = ctx.mesh.shape[ctx.axis]
+    if n > 1 and t >= RING_MIN_T and oversample == 1.0:
+        return "ring"
+    return "seq"
 
 
 def current_attention_sharding() -> Optional[AttnShardingContext]:
@@ -47,7 +77,7 @@ def current_attention_sharding() -> Optional[AttnShardingContext]:
 def sharded_attention_scope(
     mesh: Mesh,
     axis: str = "sp",
-    kind: str = "seq",
+    kind: str = "auto",
     zigzag: bool = True,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,

@@ -26,7 +26,8 @@ from .optimizer import make_optimizer
 
 
 def lra_bert_config(task: str, attention_method: str, k: int = 64,
-                    predictor_length: int = 128) -> BertConfig:
+                    predictor_length: int = 128,
+                    remat_layers: bool = True) -> BertConfig:
     spec = LRA_TASKS[task]
     head_dim = spec.hidden_size // spec.num_heads
     sea = SeaConfig(
@@ -46,6 +47,7 @@ def lra_bert_config(task: str, attention_method: str, k: int = 64,
         max_position_embeddings=spec.max_position_embeddings,
         num_labels=spec.num_labels,
         attention_method=attention_method,
+        remat_layers=remat_layers,
         sea=sea,
     )
 
@@ -67,6 +69,13 @@ class LraTrainerConfig:
     lr: Optional[float] = None  # override the per-task table
     wd: Optional[float] = None
     max_depth: int = 6  # listops expression depth
+    # LR warmup steps (linear 0 -> lr, then constant). The LRA paper
+    # trains listops with 1k warmup of 5k steps; without it the 6-layer
+    # dense teacher at lr 2e-3 plateaus near chance (RESULTS.md round-3
+    # mini run) — warmup is the difference between 14% and learning.
+    warmup_steps: int = 0
+    log_every: int = 100
+    eval_every: int = 0  # 0 = only at the end
 
 
 class LraTrainer:
@@ -102,14 +111,21 @@ class LraTrainer:
         spec_lr = LRA_TASKS[cfg.task]
         lr = cfg.lr if cfg.lr is not None else spec_lr.lr
         wd = cfg.wd if cfg.wd is not None else spec_lr.wd
+        if cfg.warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, lr, cfg.warmup_steps)
         self.tx = make_optimizer(lr=lr, wd=wd, lr_low_scale=1.0)
         self.t_params_mut = self.t_vars["params"]  # trained in 'dense' phase
         self.t_opt_state = self.tx.init(self.t_params_mut)
         self.opt_state = self.tx.init(self.s_params)
         self.rng = jax.random.key(cfg.seed)
         self.step = 0
-        self._dense_step = jax.jit(self._dense_step_impl)
-        self._kd_step = jax.jit(self._kd_step_impl)
+        # donate the param/opt buffers and sync every step in train():
+        # through the axon relay, async dispatch has no backpressure — an
+        # unsynced loop queues hundreds of steps whose undonated buffer
+        # trees pile up on device (observed RESOURCE_EXHAUSTED at runtime
+        # with a compile-time-fitting step)
+        self._dense_step = jax.jit(self._dense_step_impl, donate_argnums=(0, 1))
+        self._kd_step = jax.jit(self._kd_step_impl, donate_argnums=(0, 1))
         self._eval_dense = jax.jit(self._eval_dense_impl)
         self._eval_student = jax.jit(self._eval_student_impl)
         os.makedirs(cfg.save_dir, exist_ok=True)
@@ -185,12 +201,12 @@ class LraTrainer:
         ckptr.save(self._teacher_ckpt_path(), self.t_params_mut, force=True)
         ckptr.wait_until_finished()
 
-    def evaluate(self, which="student", max_batches=8) -> float:
+    def evaluate(self, which="student", max_batches=None) -> float:
         correct, total = 0, 0
         for i, (ids, mask, tt, labels) in enumerate(
             self.eval_ds.batches(self.batch_size)
         ):
-            if i >= max_batches:
+            if max_batches is not None and i >= max_batches:
                 break
             fn = self._eval_student if which == "student" else self._eval_dense
             p = self.s_params if which == "student" else self.t_params_mut
@@ -199,8 +215,11 @@ class LraTrainer:
             total += len(labels)
         return correct / max(total, 1)
 
-    def train(self):
+    def train(self, log=print):
         cfg = self.cfg
+        import time as _time
+
+        t0 = _time.time()
         while self.step < cfg.num_steps:
             for ids, mask, tt, labels in self.train_ds.batches(
                 self.batch_size, shuffle=True, seed=cfg.seed + self.step
@@ -216,6 +235,19 @@ class LraTrainer:
                         self.s_params, self.opt_state, self.t_vars["params"], *b, rng
                     )
                 self.step += 1
+                lv = float(loss)  # device->host sync bounds the async queue
+                if cfg.log_every and self.step % cfg.log_every == 0:
+                    log(
+                        f"[{cfg.task}/{cfg.phase}] step {self.step}/{cfg.num_steps} "
+                        f"loss {lv:.4f} ({_time.time() - t0:.0f}s)"
+                    )
+                if cfg.eval_every and self.step % cfg.eval_every == 0:
+                    which = "dense" if cfg.phase == "dense" else "student"
+                    acc = self.evaluate(which, max_batches=8)
+                    log(
+                        f"[{cfg.task}/{cfg.phase}] step {self.step} "
+                        f"{which} acc (256-sample probe) {acc:.3f}"
+                    )
                 if self.step >= cfg.num_steps:
                     if cfg.phase == "dense":
                         self.save_teacher()
@@ -230,10 +262,17 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-length", type=int, default=None)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--n-train", type=int, default=2048)
+    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--warmup", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=0)
     args = p.parse_args()
     cfg = LraTrainerConfig(
         task=args.task, phase=args.phase, num_steps=args.steps,
         batch_size=args.batch_size, max_length=args.max_length, scale=args.scale,
+        n_train=args.n_train, max_depth=args.depth, lr=args.lr,
+        warmup_steps=args.warmup, eval_every=args.eval_every,
     )
     tr = LraTrainer(cfg)
     tr.train()

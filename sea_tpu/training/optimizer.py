@@ -60,10 +60,14 @@ def make_optimizer(
 ):
     """mu_dtype: AdamW first-moment storage dtype (optax mu_dtype) — part
     of the single-chip memory plan for 1.3b+ KD (TrainerConfig.param_dtype
-    docs); None keeps the params dtype."""
+    docs); None keeps the params dtype.
+
+    lr may be a float or an optax schedule (callable step -> lr); the
+    4-group scales compose with either."""
 
     def adamw(scale, decay):
-        return optax.adamw(lr * scale, weight_decay=decay, mu_dtype=mu_dtype)
+        rate = (lambda s: lr(s) * scale) if callable(lr) else lr * scale
+        return optax.adamw(rate, weight_decay=decay, mu_dtype=mu_dtype)
 
     tx = optax.multi_transform(
         {

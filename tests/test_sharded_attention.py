@@ -358,3 +358,31 @@ def test_module_fused_train_ring_grads_match_unsharded():
             atol=2e-4,
             err_msg=jax.tree_util.keystr(kk),
         )
+
+
+def test_auto_kind_decision_rule():
+    """kind='auto' (the scope default) routes long-T configs to the ring
+    path — 'seq' replicates full K/V per shard, which is only acceptable
+    below RING_MIN_T — and respects ring's oversample limitation
+    (docs/operations.md 'Choosing the sharded attention kind')."""
+    from sea_tpu.parallel.context import (
+        RING_MIN_T,
+        AttnShardingContext,
+        resolve_attention_kind,
+    )
+
+    mesh = make_mesh(sp=2)
+    ctx = AttnShardingContext(mesh=mesh, axis="sp")  # default kind='auto'
+    assert resolve_attention_kind(ctx, t=4096) == "seq"
+    assert resolve_attention_kind(ctx, t=RING_MIN_T) == "ring"
+    assert resolve_attention_kind(ctx, t=65536) == "ring"
+    # ring has no oversample keep-predicate: oversampled configs stay seq
+    assert resolve_attention_kind(ctx, t=65536, oversample=2.0) == "seq"
+    # explicit kinds pass through untouched
+    for kk in ("seq", "head", "ring"):
+        ctx2 = AttnShardingContext(mesh=mesh, axis="sp", kind=kk)
+        assert resolve_attention_kind(ctx2, t=65536) == kk
+    # a single-shard axis never rings
+    mesh1 = make_mesh(sp=1)
+    ctx1 = AttnShardingContext(mesh=mesh1, axis="sp")
+    assert resolve_attention_kind(ctx1, t=65536) == "seq"

@@ -368,3 +368,32 @@ def test_opt_trainer_bf16_compute(tmp_path):
     assert all(l.dtype == jnp.float32 for l in leaves if hasattr(l, "dtype"))
     tr.train()
     assert np.isfinite(tr.evaluate(max_batches=2))
+
+
+def test_make_optimizer_accepts_schedule():
+    """make_optimizer(lr=<schedule>) composes the 4-group scales with a
+    callable learning rate (LRA warmup path)."""
+    import jax.numpy as jnp
+    import optax
+
+    from sea_tpu.training.optimizer import make_optimizer
+
+    sched = optax.linear_schedule(0.0, 1e-3, 10)
+    tx = make_optimizer(lr=sched, wd=0.0, lr_low_scale=1.0)
+    params = {"dense": {"kernel": jnp.ones((4, 4))},
+              "perlin_x": {"kernel": jnp.ones((4, 4))}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # step 0: lr 0 -> zero update for every group
+    upd, state = tx.update(grads, state, params)
+    assert all(
+        float(jnp.abs(u).max()) == 0.0
+        for u in jax.tree_util.tree_leaves(upd)
+    )
+    # later steps: perlin group moves 10x the base group
+    for _ in range(5):
+        upd, state = tx.update(grads, state, params)
+    base = float(jnp.abs(upd["dense"]["kernel"]).max())
+    high = float(jnp.abs(upd["perlin_x"]["kernel"]).max())
+    assert base > 0
+    np.testing.assert_allclose(high / base, 10.0, rtol=1e-4)
