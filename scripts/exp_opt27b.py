@@ -47,7 +47,7 @@ def main():
 
     from sea_tpu.benchmarks import device_peak_bytes
     from sea_tpu.models.opt import OptForCausalLM, opt_2_7b
-    from sea_tpu.data.wikitext2 import synthetic_corpus_ids
+    from sea_tpu.data.wikitext2 import synthetic_corpus
 
     T = args.seq_len
     base = opt_2_7b("perlin")
@@ -83,7 +83,9 @@ def main():
     }), flush=True)
 
     # ---- stage 1: strided eval PPL (scan path, benchmark forward) ----
-    corpus = synthetic_corpus_ids(cfg_scan.vocab_size, n_tokens=T * (args.eval_windows + 1))
+    corpus = synthetic_corpus(
+        cfg_scan.vocab_size, total_tokens=T * (args.eval_windows + 1)
+    )
 
     @jax.jit
     def window_nll(v, w_ids):

@@ -74,8 +74,15 @@ class LraTrainerConfig:
     # dense teacher at lr 2e-3 plateaus near chance (RESULTS.md round-3
     # mini run) — warmup is the difference between 14% and learning.
     warmup_steps: int = 0
+    # 'none' (constant after warmup) | 'rsqrt' (the LRA paper's
+    # linear_warmup * rsqrt_decay schedule shape)
+    lr_decay: str = "none"
     log_every: int = 100
     eval_every: int = 0  # 0 = only at the end
+    # gradient accumulation: LRA paper trains listops at effective batch
+    # 32, which OOMs as a single dense-attention microbatch at T=2048 on
+    # the 16 GB chip — accumulate instead (one update per accum batches)
+    accum_steps: int = 1
 
 
 class LraTrainer:
@@ -112,7 +119,16 @@ class LraTrainer:
         lr = cfg.lr if cfg.lr is not None else spec_lr.lr
         wd = cfg.wd if cfg.wd is not None else spec_lr.wd
         if cfg.warmup_steps > 0:
-            lr = optax.linear_schedule(0.0, lr, cfg.warmup_steps)
+            if cfg.lr_decay == "rsqrt":
+                peak, w = lr, cfg.warmup_steps
+
+                def lr(s):  # noqa: F811 — linear warmup, then rsqrt decay
+                    sf = jnp.asarray(s, jnp.float32)
+                    return peak * jnp.minimum(
+                        sf / w, jnp.sqrt(w / jnp.maximum(sf, 1.0))
+                    )
+            else:
+                lr = optax.linear_schedule(0.0, lr, cfg.warmup_steps)
         self.tx = make_optimizer(lr=lr, wd=wd, lr_low_scale=1.0)
         self.t_params_mut = self.t_vars["params"]  # trained in 'dense' phase
         self.t_opt_state = self.tx.init(self.t_params_mut)
@@ -151,26 +167,64 @@ class LraTrainer:
     # -- teacher pretraining ("dense" phase; reference trains the same
     #    architecture dense, then loads it as teacher, lra_trainer.py:118-140)
     def _dense_step_impl(self, params, opt_state, ids, mask, tt, labels):
-        def loss_fn(p):
-            out = self.kd.teacher.apply({"params": p}, ids, mask, tt, labels=labels)
+        """ids/...: (A, B, T) microbatch stacks (A = accum_steps; A=1 is
+        the plain step). Grads accumulate via lax.scan — one live
+        microbatch of dense-attention activations at a time."""
+
+        def loss_fn(p, mb):
+            i, m, t, y = mb
+            out = self.kd.teacher.apply({"params": p}, i, m, t, labels=y)
             return out["loss"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        def body(acc, mb):
+            loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+            return (
+                jax.tree_util.tree_map(jnp.add, acc[0], grads),
+                acc[1] + loss,
+            ), None
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (grads, loss), _ = jax.lax.scan(
+            body, (g0, jnp.float32(0.0)), (ids, mask, tt, labels)
+        )
+        A = ids.shape[0]
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
         updates, opt_state = self.tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss / A
 
     def _kd_step_impl(self, s_params, opt_state, t_params, ids, mask, tt, labels, rng):
-        def loss_fn(p):
+        """Microbatch stacks (A, B, T) like _dense_step_impl."""
+
+        def loss_fn(p, mb, r):
+            i, m, t, y = mb
             sv = dict(self.s_extra)
             sv["params"] = p
             loss, det = self.kd.kd_loss(
-                {"params": t_params}, sv, ids, mask, labels, tt, rng
+                {"params": t_params}, sv, i, m, y, t, r
             )
             return loss, {k: v for k, v in det.items() if k != "logits"}
 
-        (loss, det), grads = jax.value_and_grad(loss_fn, has_aux=True)(s_params)
+        A = ids.shape[0]
+        rngs = jax.random.split(rng, A)
+
+        def body(acc, inp):
+            mb, r = inp
+            (loss, det), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                s_params, mb, r
+            )
+            return (
+                jax.tree_util.tree_map(jnp.add, acc[0], grads),
+                acc[1] + loss,
+            ), det
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, s_params)
+        (grads, loss), dets = jax.lax.scan(
+            body, (g0, jnp.float32(0.0)), ((ids, mask, tt, labels), rngs)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+        det = jax.tree_util.tree_map(lambda x: x[-1], dets)
         updates, opt_state = self.tx.update(grads, opt_state, s_params)
-        return optax.apply_updates(s_params, updates), opt_state, loss, det
+        return optax.apply_updates(s_params, updates), opt_state, loss / A, det
 
     def _eval_dense_impl(self, params, ids, mask, tt):
         return self.kd.teacher.apply({"params": params}, ids, mask, tt)["logits"]
@@ -220,11 +274,20 @@ class LraTrainer:
         import time as _time
 
         t0 = _time.time()
+        A = max(cfg.accum_steps, 1)
+        pending = []
         while self.step < cfg.num_steps:
-            for ids, mask, tt, labels in self.train_ds.batches(
+            for micro in self.train_ds.batches(
                 self.batch_size, shuffle=True, seed=cfg.seed + self.step
             ):
-                b = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt), jnp.asarray(labels))
+                pending.append(micro)
+                if len(pending) < A:
+                    continue
+                b = tuple(
+                    jnp.asarray(np.stack([m[j] for m in pending]))
+                    for j in range(4)
+                )
+                pending = []
                 if cfg.phase == "dense":
                     self.t_params_mut, self.t_opt_state, loss = self._dense_step(
                         self.t_params_mut, self.t_opt_state, *b
@@ -267,12 +330,15 @@ def main():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--warmup", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=0)
+    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--lr-decay", default="none", choices=["none", "rsqrt"])
     args = p.parse_args()
     cfg = LraTrainerConfig(
         task=args.task, phase=args.phase, num_steps=args.steps,
         batch_size=args.batch_size, max_length=args.max_length, scale=args.scale,
         n_train=args.n_train, max_depth=args.depth, lr=args.lr,
         warmup_steps=args.warmup, eval_every=args.eval_every,
+        accum_steps=args.accum, lr_decay=args.lr_decay,
     )
     tr = LraTrainer(cfg)
     tr.train()
