@@ -28,6 +28,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--logdir", default="saves/xprof")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--impl", default="flat")
     args = p.parse_args()
 
     from bench import host_topk_mask
@@ -58,6 +59,7 @@ def main():
                 c, k, v, m, s, is_causal=True,
                 block_q=512 if on_tpu else None,
                 block_k=512 if on_tpu else None,
+                impl=args.impl,
                 interpret=not on_tpu,
             )
 

@@ -33,6 +33,9 @@ def main():
                    help="row-chunk the predictor CausalConv2d stack "
                         "(exact; needed at T=64k where the unchunked conv's "
                         "XLA padding requests ~31 GB)")
+    p.add_argument("--trace", default=None,
+                   help="capture an xprof device trace of one steady step "
+                        "into this logdir and print the top device ops")
     args = p.parse_args()
 
     from sea_tpu.config import opt_config
@@ -97,6 +100,26 @@ def main():
         "steady_step_s": round(float(np.median(times)), 3) if times else None,
         "final_loss": float(loss),
     }), flush=True)
+
+    if args.trace:
+        import glob
+
+        from sea_tpu.utils.profiler import device_trace
+
+        os.makedirs(args.trace, exist_ok=True)
+        with device_trace(args.trace):
+            params, opt_state, loss = jstep(params, opt_state, ids, mask)
+            float(loss)
+        produced = sorted(
+            glob.glob(os.path.join(args.trace, "**", "*.xplane.pb"),
+                      recursive=True),
+            key=os.path.getmtime,
+        )
+        if produced:
+            sys.path.insert(0, os.path.dirname(__file__))
+            from kernel_trace import summarize_xplane
+
+            summarize_xplane(produced[-1])
 
 
 if __name__ == "__main__":

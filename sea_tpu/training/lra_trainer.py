@@ -311,6 +311,10 @@ class LraTrainer:
                         f"[{cfg.task}/{cfg.phase}] step {self.step} "
                         f"{which} acc (256-sample probe) {acc:.3f}"
                     )
+                    if cfg.phase == "dense":
+                        # checkpoint at probe boundaries: relay stalls have
+                        # killed >20-minute unsaved dense phases
+                        self.save_teacher()
                 if self.step >= cfg.num_steps:
                     if cfg.phase == "dense":
                         self.save_teacher()
