@@ -135,6 +135,14 @@ class LraTrainer:
         self.opt_state = self.tx.init(self.s_params)
         self.rng = jax.random.key(cfg.seed)
         self.step = 0
+        if cfg.phase == "distill":
+            # resume after relay stalls (the environment kills ~40-min
+            # processes; with the persistent compile cache a restart costs
+            # ~2 min, so probe-boundary checkpoints make long distill
+            # phases restart-driven rather than single-shot)
+            if self._load_student_checkpoint():
+                print(f"[{cfg.task}/distill] resumed at step {self.step}",
+                      flush=True)
         # donate the param/opt buffers and sync every step in train():
         # through the axon relay, async dispatch has no backpressure — an
         # unsynced loop queues hundreds of steps whose undonated buffer
@@ -239,6 +247,40 @@ class LraTrainer:
             os.path.join(self.cfg.save_dir, f"{self.cfg.task}_teacher")
         )
 
+    def _student_ckpt_path(self):
+        return os.path.abspath(
+            os.path.join(self.cfg.save_dir, f"{self.cfg.task}_student_state")
+        )
+
+    def save_student(self):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            self._student_ckpt_path(),
+            {"params": self.s_params, "opt_state": self.opt_state,
+             "step": jnp.int32(self.step)},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+    def _load_student_checkpoint(self):
+        path = self._student_ckpt_path()
+        if os.path.exists(path):
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            restored = ckptr.restore(
+                path,
+                {"params": self.s_params, "opt_state": self.opt_state,
+                 "step": jnp.int32(self.step)},
+            )
+            self.s_params = restored["params"]
+            self.opt_state = restored["opt_state"]
+            self.step = int(restored["step"])
+            return True
+        return False
+
     def _load_teacher_checkpoint(self):
         path = self._teacher_ckpt_path()
         if os.path.exists(path):
@@ -315,6 +357,8 @@ class LraTrainer:
                         # checkpoint at probe boundaries: relay stalls have
                         # killed >20-minute unsaved dense phases
                         self.save_teacher()
+                    else:
+                        self.save_student()
                 if self.step >= cfg.num_steps:
                     if cfg.phase == "dense":
                         self.save_teacher()
@@ -322,6 +366,9 @@ class LraTrainer:
 
 
 def main():
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="listops")
     p.add_argument("--phase", default="distill", choices=["dense", "distill"])
