@@ -431,6 +431,7 @@ def pipeline_1f1b_value_and_grad(
     num_microbatches: int,
     axis: str = "pp",
     dp_axis: Optional[str] = None,
+    head_has_aux: bool = False,
 ):
     """True 1F1B: ONE combined forward+backward pass with the PipeDream-
     flush schedule, computed as an explicit gradient (per-stage jax.vjp at
@@ -449,26 +450,35 @@ def pipeline_1f1b_value_and_grad(
     scalar loss for one microbatch (e.g. finalize + logits + CE); it runs
     on the last stage at each backward tick and seeds the cotangent.
     head_args leaves with a leading batch dim are microbatch-sliced like
-    bundle. h must be a single array here (the KD pair carry of
-    `pipeline_layers` is not supported on this schedule yet).
+    bundle. h may be a single array or a pytree of arrays sharing the
+    leading batch dim N — the KD path pipelines the (teacher, student,
+    per-layer-loss accumulator) carry exactly like `pipeline_layers`;
+    per-layer differentiable losses must ride IN the carry (an
+    accumulator leaf) because only head_loss seeds cotangents here (the
+    aux channel is reporting-only, unlike GPipe-under-jax.grad).
+
+    head_has_aux: head_loss returns (scalar, f32 aux vector); the aux
+    vector is summed over microbatches / M and returned as the second
+    element of a (layer_aux, head_aux) pair.
 
     Returns (loss_mean, aux_mean, (d_layer_vars, d_head_vars, d_h)):
     loss_mean = mean over microbatches of head_loss; gradients are of
     M·loss_mean = sum of per-microbatch losses, scaled by 1/M, i.e. they
-    match jax.grad of the equivalent GPipe loss. d_h lets the caller run
-    the embedding backward (jax.vjp of the embed at h) outside.
+    match jax.grad of the equivalent GPipe loss. d_h (same structure as
+    h) lets the caller run the embedding backward (jax.vjp of the embed
+    at h) outside.
     """
     S = mesh.shape[axis]
     M = num_microbatches
     tmap = jax.tree_util.tree_map
-    N = h.shape[0]
+    N = jax.tree_util.tree_leaves(h)[0].shape[0]
     num_layers = jax.tree_util.tree_leaves(layer_vars)[0].shape[0]
     assert num_layers % S == 0, (num_layers, S)
     f_tab, b_tab = sim_1f1b_schedule(S, M)
     T_ticks = f_tab.shape[0]
     W = S + 1  # stash slots (in-flight ≤ S - s, +1 against receive overlap)
 
-    h_m = _micro_reshape(h, M)
+    h_m = tmap(lambda x: _micro_reshape(x, M), h)
     def micro_or_keep(b):
         return (
             _micro_reshape(b, M)
@@ -505,16 +515,16 @@ def pipeline_1f1b_value_and_grad(
     in_specs = (
         pp_stage_specs(layer_vars, axis),
         tmap(lambda _: P(), head_vars),
-        mb_spec,
+        tmap(lambda _: mb_spec, h_m),
         tmap(bspec, is_micro_b),
         tmap(bspec, is_micro_ha),
     )
     out_specs = (
         P(),  # loss
-        P(),  # aux
+        P(),  # aux (layer aux, or (layer aux, head aux))
         pp_stage_specs(layer_vars, axis),
         tmap(lambda _: P(), head_vars),
-        mb_spec,  # d_h (M, mb, ...)
+        tmap(lambda _: mb_spec, h_m),  # d_h (M, mb, ...)
     )
 
     def stage_fn(lv, hv, hm, bm, ham):
@@ -539,18 +549,30 @@ def pipeline_1f1b_value_and_grad(
             y, auxs = lax.scan(body, x, lv_)
             return y, jnp.sum(auxs, axis=0)
 
-        mb_shape = jax.eval_shape(lambda x: x[0], hm).shape  # (mb, ...)
+        mb_sd = tmap(lambda x: jax.eval_shape(lambda a: a[0], x), hm)
+
+        def mb_zeros():
+            return tmap(lambda s: jnp.zeros(s.shape, s.dtype), mb_sd)
+
         aux0 = jnp.zeros(
             jax.eval_shape(
                 lambda x, b: run_local(lv, x, b)[1],
-                jnp.zeros(mb_shape, h.dtype),
+                mb_zeros(),
                 slice_tree(bm, is_micro_b, 0),
             ).shape,
             jnp.float32,
         )
+        if head_has_aux:
+            ha_sd = jax.eval_shape(
+                lambda hv_, y_, a_: head_loss(hv_, y_, a_)[1],
+                hv, mb_zeros(), slice_tree(ham, is_micro_ha, 0),
+            )
+            haux0 = jnp.zeros(ha_sd.shape, jnp.float32)
+        else:
+            haux0 = jnp.float32(0.0)
 
         def tick(carry, xs):
-            (stash, cot_buf, d_lv, d_hv, d_h, loss_t, aux_t) = carry
+            (stash, cot_buf, d_lv, d_hv, d_h, loss_t, aux_t, haux_t) = carry
             fm_row, bm_row, rf_row, rb_row = xs
             fm = lax.dynamic_index_in_dim(fm_row, stage, 0, keepdims=False)
             bmb = lax.dynamic_index_in_dim(bm_row, stage, 0, keepdims=False)
@@ -561,24 +583,45 @@ def pipeline_1f1b_value_and_grad(
             def do_f(stash):
                 m = fm
                 slot = m % W
-                x_inj = lax.dynamic_index_in_dim(hm, m, 0, keepdims=False)
-                x_buf = lax.dynamic_index_in_dim(stash, slot, 0, keepdims=False)
-                x = jnp.where(stage == 0, x_inj, x_buf)
+                x_inj = tmap(
+                    lambda x_: lax.dynamic_index_in_dim(x_, m, 0, keepdims=False),
+                    hm,
+                )
+                x_buf = tmap(
+                    lambda b_: lax.dynamic_index_in_dim(
+                        b_, slot, 0, keepdims=False
+                    ),
+                    stash,
+                )
+                x = tmap(
+                    lambda i_, b_: jnp.where(stage == 0, i_, b_), x_inj, x_buf
+                )
                 y, aux = run_local(lv, x, slice_tree(bm, is_micro_b, m))
-                stash = lax.dynamic_update_index_in_dim(stash, x, slot, 0)
+                stash = tmap(
+                    lambda b_, v_: lax.dynamic_update_index_in_dim(
+                        b_, v_, slot, 0
+                    ),
+                    stash,
+                    x,
+                )
                 return stash, y, aux
 
             def no_f(stash):
-                return stash, jnp.zeros(mb_shape, h.dtype), aux0
+                return stash, mb_zeros(), aux0
 
             stash, y_msg, aux = lax.cond(fm >= 0, do_f, no_f, stash)
             aux_t = aux_t + aux
 
             # ---- backward op (bmb >= 0) ----
             def do_b(args):
-                d_lv, d_hv, d_h, loss_t = args
+                d_lv, d_hv, d_h, loss_t, haux_t = args
                 m = bmb
-                x = lax.dynamic_index_in_dim(stash, m % W, 0, keepdims=False)
+                x = tmap(
+                    lambda b_: lax.dynamic_index_in_dim(
+                        b_, m % W, 0, keepdims=False
+                    ),
+                    stash,
+                )
                 bnd = slice_tree(bm, is_micro_b, m)
 
                 def fwd_only(lv_, x_):
@@ -588,58 +631,103 @@ def pipeline_1f1b_value_and_grad(
 
                 def head_seed(_):
                     ha = slice_tree(ham, is_micro_ha, m)
-                    loss_m, head_pull = jax.vjp(
-                        lambda hv_, y_: head_loss(hv_, y_, ha), hv, y
-                    )
+                    if head_has_aux:
+                        loss_m, head_pull, h_aux = jax.vjp(
+                            lambda hv_, y_: head_loss(hv_, y_, ha), hv, y,
+                            has_aux=True,
+                        )
+                        h_aux = jnp.asarray(h_aux, jnp.float32)
+                    else:
+                        loss_m, head_pull = jax.vjp(
+                            lambda hv_, y_: head_loss(hv_, y_, ha), hv, y
+                        )
+                        h_aux = haux0
                     g_hv, g_y = head_pull(jnp.float32(1.0))
-                    return g_y.astype(y.dtype), g_hv, loss_m
+                    g_y = tmap(
+                        lambda g_, y_: g_.astype(y_.dtype), g_y, y
+                    )
+                    return g_y, g_hv, loss_m, h_aux
 
                 def mid_seed(_):
-                    g_y = lax.dynamic_index_in_dim(
-                        cot_buf, m % W, 0, keepdims=False
+                    g_y = tmap(
+                        lambda b_: lax.dynamic_index_in_dim(
+                            b_, m % W, 0, keepdims=False
+                        ),
+                        cot_buf,
                     )
-                    return g_y, tmap(jnp.zeros_like, hv), jnp.float32(0.0)
+                    return (
+                        g_y, tmap(jnp.zeros_like, hv), jnp.float32(0.0),
+                        haux0,
+                    )
 
-                g_y, g_hv, loss_m = lax.cond(
+                g_y, g_hv, loss_m, h_aux = lax.cond(
                     stage == S - 1, head_seed, mid_seed, 0
                 )
                 g_lv, g_x = pull(g_y)
                 d_lv = tmap(jnp.add, d_lv, g_lv)
                 d_hv = tmap(jnp.add, d_hv, g_hv)
                 loss_t = loss_t + loss_m
+                haux_t = haux_t + h_aux
                 # only stage 0's input cotangent is the caller's d_h; other
                 # stages keep zeros and the final psum picks stage 0's
-                d_h = lax.dynamic_update_index_in_dim(
-                    d_h, jnp.where(stage == 0, g_x, jnp.zeros_like(g_x)), m, 0
+                d_h = tmap(
+                    lambda d_, g_: lax.dynamic_update_index_in_dim(
+                        d_,
+                        jnp.where(stage == 0, g_, jnp.zeros_like(g_)),
+                        m,
+                        0,
+                    ),
+                    d_h,
+                    g_x,
                 )
-                return (d_lv, d_hv, d_h, loss_t), g_x
+                return (d_lv, d_hv, d_h, loss_t, haux_t), g_x
 
             def no_b(args):
-                return args, jnp.zeros(mb_shape, h.dtype)
+                return args, mb_zeros()
 
-            (d_lv, d_hv, d_h, loss_t), dx_msg = lax.cond(
-                bmb >= 0, do_b, no_b, (d_lv, d_hv, d_h, loss_t)
+            (d_lv, d_hv, d_h, loss_t, haux_t), dx_msg = lax.cond(
+                bmb >= 0, do_b, no_b, (d_lv, d_hv, d_h, loss_t, haux_t)
             )
 
             # ---- ring exchange (collectives run unconditionally) ----
-            f_recv = lax.ppermute(
-                y_msg, axis, [(i, (i + 1) % S) for i in range(S)]
+            f_recv = tmap(
+                lambda z: lax.ppermute(
+                    z, axis, [(i, (i + 1) % S) for i in range(S)]
+                ),
+                y_msg,
             )
-            b_recv = lax.ppermute(
-                dx_msg, axis, [(i, (i - 1) % S) for i in range(S)]
+            b_recv = tmap(
+                lambda z: lax.ppermute(
+                    z, axis, [(i, (i - 1) % S) for i in range(S)]
+                ),
+                dx_msg,
             )
-            stash = lax.dynamic_update_index_in_dim(stash, f_recv, rf, 0)
-            cot_buf = lax.dynamic_update_index_in_dim(cot_buf, b_recv, rb, 0)
-            return (stash, cot_buf, d_lv, d_hv, d_h, loss_t, aux_t), None
+            stash = tmap(
+                lambda b_, v_: lax.dynamic_update_index_in_dim(b_, v_, rf, 0),
+                stash,
+                f_recv,
+            )
+            cot_buf = tmap(
+                lambda b_, v_: lax.dynamic_update_index_in_dim(b_, v_, rb, 0),
+                cot_buf,
+                b_recv,
+            )
+            return (
+                stash, cot_buf, d_lv, d_hv, d_h, loss_t, aux_t, haux_t
+            ), None
 
         carry0 = (
-            jnp.zeros((W + 1,) + mb_shape, h.dtype),  # stash (+ trash slot)
-            jnp.zeros((W + 1,) + mb_shape, h.dtype),  # cotangent buffer
+            # stash (+ trash slot)
+            tmap(lambda s: jnp.zeros((W + 1,) + s.shape, s.dtype), mb_sd),
+            # cotangent buffer
+            tmap(lambda s: jnp.zeros((W + 1,) + s.shape, s.dtype), mb_sd),
             tmap(jnp.zeros_like, lv),
             tmap(jnp.zeros_like, hv),
-            jnp.zeros((M,) + mb_shape, h.dtype),  # d_h per microbatch
+            # d_h per microbatch
+            tmap(lambda s: jnp.zeros((M,) + s.shape, s.dtype), mb_sd),
             jnp.float32(0.0),
             aux0,
+            haux0,
         )
         xs = (
             jnp.asarray(f_tab),
@@ -647,25 +735,31 @@ def pipeline_1f1b_value_and_grad(
             jnp.asarray(recv_f),
             jnp.asarray(recv_b),
         )
-        (_, _, d_lv, d_hv, d_h, loss_t, aux_t), _ = lax.scan(
+        (_, _, d_lv, d_hv, d_h, loss_t, aux_t, haux_t), _ = lax.scan(
             tick, carry0, xs
         )
         loss = lax.psum(loss_t, axis) / jnp.float32(M)
         aux = lax.psum(aux_t, axis) / jnp.float32(num_layers * M)
+        haux = lax.psum(haux_t, axis) / jnp.float32(M)
         d_hv = tmap(lambda g: lax.psum(g, axis), d_hv)
-        d_h = lax.psum(d_h, axis)  # only stage 0 wrote non-zeros
+        # only stage 0 wrote non-zeros
+        d_h = tmap(lambda g: lax.psum(g, axis), d_h)
         if dp_axis is not None:
             loss = lax.pmean(loss, dp_axis)
             aux = lax.pmean(aux, dp_axis)
+            haux = lax.pmean(haux, dp_axis)
             d_lv = tmap(lambda g: lax.pmean(g, dp_axis), d_lv)
             d_hv = tmap(lambda g: lax.pmean(g, dp_axis), d_hv)
             # d_h rows stay dp-local but the loss is the dp-mean
-            d_h = d_h / jnp.float32(mesh.shape[dp_axis])
+            d_h = tmap(
+                lambda g: g / jnp.float32(mesh.shape[dp_axis]), d_h
+            )
         scale = 1.0 / jnp.float32(M)
         d_lv = tmap(lambda g: g * scale, d_lv)
         d_hv = tmap(lambda g: g * scale, d_hv)
-        d_h = d_h * scale
-        return loss, aux, d_lv, d_hv, d_h
+        d_h = tmap(lambda g: g * scale, d_h)
+        out_aux = (aux, haux) if head_has_aux else aux
+        return loss, out_aux, d_lv, d_hv, d_h
 
     loss, aux, d_lv, d_hv, d_h = shard_map(
         stage_fn,
@@ -674,7 +768,7 @@ def pipeline_1f1b_value_and_grad(
         out_specs=out_specs,
         check_vma=False,
     )(layer_vars, head_vars, h_m, bundle_m, head_args_m)
-    d_h = d_h.reshape(N, *d_h.shape[2:])
+    d_h = tmap(lambda d: d.reshape(N, *d.shape[2:]), d_h)
     return loss, aux, (d_lv, d_hv, d_h)
 
 
@@ -904,3 +998,188 @@ def pp_kd_loss(
         "loss_sp": loss_special,
         "student_task_loss": task_loss,
     }
+
+
+def _prune_scan_layers(variables):
+    """Drop the model/layers_scan subtree from every collection (the
+    embed/finalize/logits params are all that's left — what the pipeline
+    head needs; keeps the 1F1B head-grad accumulators lean)."""
+    out = {}
+    for col, tree in variables.items():
+        sub = tree.get("model") if isinstance(tree, dict) else None
+        if isinstance(sub, dict) and "layers_scan" in sub:
+            tree = {
+                **tree,
+                "model": {k: v for k, v in sub.items() if k != "layers_scan"},
+            }
+        out[col] = tree
+    return out
+
+
+def _insert_scan_layers(pruned, layer_vars):
+    """Inverse of `_prune_scan_layers` + `split_scan_vars`: re-insert the
+    stacked layer trees so the result matches the full scan-layout
+    variables structure (grads merge back for the optimizer)."""
+    out = {}
+    for col, tree in pruned.items():
+        if col in layer_vars:
+            sub = dict(tree.get("model", {}))
+            sub["layers_scan"] = {"layer": layer_vars[col]}
+            tree = {**tree, "model": sub}
+        out[col] = tree
+    return out
+
+
+def pp_kd_1f1b_value_and_grad(
+    teacher_model,
+    student_model,
+    teacher_variables,
+    student_variables,
+    input_ids: jnp.ndarray,
+    attention_mask_1d: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis: str = "pp",
+    dp_axis: Optional[str] = None,
+    task_scale: float = 0.1,
+    use_remat: bool = True,
+):
+    """KD pair on the TRUE 1F1B schedule (VERDICT r4 #3): the (teacher,
+    student) hidden pair streams through `pipeline_1f1b_value_and_grad`
+    with the per-layer differentiable KD losses (hidden MSE + attention
+    distill aux) riding IN the carry as a per-row accumulator — the only
+    way per-layer losses reach the explicit-vjp schedule, where cotangents
+    are seeded solely by the last-stage head.
+
+    Exactly `pp_kd_loss`'s math (0.1·task CE + 5·mean hidden MSE incl.
+    embedding + 0.2·logit KL + attention aux) but with 1F1B's O(S)
+    activation stash instead of GPipe's O(M) — the 13b KD deployment
+    schedule. At num_microbatches=1 gradients equal `jax.grad` of
+    `pp_kd_loss` exactly; at M>1 they equal the same microbatch
+    decomposition (nonlinear masked-mean aux terms decompose like
+    gradient accumulation, see test_pp_kd_microbatched_*).
+
+    Returns (loss, details, d_student_variables) where d_student_variables
+    has the full scan-layout structure of `student_variables` (embed +
+    head + layer-stack grads merged; teacher gradients are structurally
+    zero and not returned).
+    """
+    from ..models.opt import cross_entropy_shifted
+
+    t_layer_vars, t_vars = split_scan_vars(teacher_variables)
+    s_layer_vars, s_vars = split_scan_vars(student_variables)
+    assert t_layer_vars and s_layer_vars, "variables are not in scan layout"
+    t_layer_mod = _layer_module(teacher_model)
+    s_layer_mod = _layer_module(student_model)
+    L = jax.tree_util.tree_leaves(t_layer_vars)[0].shape[0]
+    tmap = jax.tree_util.tree_map
+
+    t_head_vars = _prune_scan_layers(t_vars)
+    s_head_vars = _prune_scan_layers(s_vars)
+
+    h_t, bundle = teacher_model.apply(
+        t_head_vars,
+        input_ids,
+        attention_mask_1d,
+        method=lambda m, i, a: m.model.embed(i, a),
+    )
+    h_t = jax.lax.stop_gradient(h_t)
+
+    def embed_fn(sv):
+        h_s, _ = student_model.apply(
+            sv,
+            input_ids,
+            attention_mask_1d,
+            method=lambda m, i, a: m.model.embed(i, a),
+        )
+        mse0 = jnp.mean(
+            (h_t.astype(jnp.float32) - h_s.astype(jnp.float32)) ** 2
+        )
+        return h_s, mse0
+
+    (h_s, mse0), embed_pull = jax.vjp(embed_fn, s_head_vars)
+    N = h_s.shape[0]
+    mse0_w = 5.0 / (L + 1)
+
+    def layer_apply(lv, carry_mb, bundle_mb):
+        ht, hs, acc = carry_mb
+        ht2, _, cap = t_layer_mod.apply(lv["t"], ht, bundle_mb)
+        ht2 = jax.lax.stop_gradient(ht2)
+        cap = tmap(jax.lax.stop_gradient, cap)
+        hs2, aux, _ = s_layer_mod.apply(
+            lv["s"], hs, bundle_mb, cap, training=True
+        )
+        mse = jnp.mean(
+            (ht2.astype(jnp.float32) - hs2.astype(jnp.float32)) ** 2
+        )
+        aux = jnp.asarray(
+            aux if aux is not None else jnp.float32(0.0), jnp.float32
+        )
+        acc = acc + aux / L + mse * mse0_w
+        return (ht2, hs2, acc), jnp.stack([aux, mse])
+
+    if use_remat:
+        layer_apply = jax.checkpoint(layer_apply, prevent_cse=False)
+
+    def head_loss(sv, y, ha):
+        ht, hs, acc = y
+        logits_t = jax.lax.stop_gradient(
+            teacher_model.apply(
+                t_head_vars, ht,
+                method=lambda m, x: m.logits(m.model.finalize(x)),
+            )
+        )
+        logits_s = student_model.apply(
+            sv, hs, method=lambda m, x: m.logits(m.model.finalize(x))
+        )
+        task_loss = cross_entropy_shifted(logits_s, ha["labels"])
+        lt = logits_t.reshape(-1, logits_t.shape[-1]).astype(jnp.float32)
+        ls = logits_s.reshape(-1, logits_s.shape[-1]).astype(jnp.float32)
+        target = jax.nn.softmax(lt, -1)
+        log_input = jax.nn.log_softmax(ls, -1)
+        kl = (
+            (target * (jnp.log(target + 1e-12) - log_input)).sum()
+            / lt.shape[0]
+            * 0.2
+        )
+        loss = task_scale * task_loss + kl + jnp.mean(acc)
+        return loss, jnp.stack([task_loss, kl])
+
+    acc0 = jnp.zeros((N,), jnp.float32)
+    loss_pipe, (layer_aux, head_aux), (d_lv, d_hv, d_h) = (
+        pipeline_1f1b_value_and_grad(
+            layer_apply,
+            head_loss,
+            {"t": t_layer_vars, "s": s_layer_vars},
+            s_head_vars,
+            (h_t, h_s, acc0),
+            bundle,
+            {"labels": labels},
+            mesh=mesh,
+            num_microbatches=num_microbatches,
+            axis=axis,
+            dp_axis=dp_axis,
+            head_has_aux=True,
+        )
+    )
+    loss = loss_pipe + mse0_w * mse0
+
+    # embedding backward: pipeline input cotangent + the mse0 term
+    _, d_h_s, _ = d_h
+    (g_embed,) = embed_pull((d_h_s, jnp.float32(mse0_w)))
+    d_s_rest = tmap(jnp.add, g_embed, d_hv)
+    d_student = _insert_scan_layers(d_s_rest, d_lv["s"])
+
+    loss_sp = layer_aux[0]
+    loss_hidden = (mse0 + layer_aux[1] * L) * mse0_w
+    details = {
+        "loss": loss,
+        "loss_model": task_scale * head_aux[0],
+        "loss_kd_hidden": loss_hidden,
+        "loss_kd_logit": head_aux[1],
+        "loss_sp": loss_sp,
+        "student_task_loss": head_aux[0],
+    }
+    return loss, details, d_student

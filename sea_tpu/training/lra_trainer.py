@@ -83,6 +83,11 @@ class LraTrainerConfig:
     # 32, which OOMs as a single dense-attention microbatch at T=2048 on
     # the 16 GB chip — accumulate instead (one update per accum batches)
     accum_steps: int = 1
+    # checkpoint every N optimizer steps (0 = only at probe boundaries).
+    # The environment kills long TPU processes ~40 min in; saving on a
+    # step cadence (not just eval_every probes) bounds the work lost per
+    # restart even when a probe interval exceeds the process lifetime.
+    save_every: int = 0
 
 
 class LraTrainer:
@@ -317,6 +322,13 @@ class LraTrainer:
 
         t0 = _time.time()
         A = max(cfg.accum_steps, 1)
+        if cfg.phase == "distill" and self.step == 0:
+            # bootstrap probe: the student starts from teacher weights
+            # (student_from_teacher) — record where the drop-in SEA
+            # replacement lands before any KD step
+            acc = self.evaluate("student", max_batches=8)
+            log(f"[{cfg.task}/distill] step 0 bootstrap student acc "
+                f"(256-sample probe) {acc:.3f}")
         pending = []
         while self.step < cfg.num_steps:
             for micro in self.train_ds.batches(
@@ -346,6 +358,13 @@ class LraTrainer:
                         f"[{cfg.task}/{cfg.phase}] step {self.step}/{cfg.num_steps} "
                         f"loss {lv:.4f} ({_time.time() - t0:.0f}s)"
                     )
+                if (cfg.save_every and self.step % cfg.save_every == 0
+                        and not (cfg.eval_every
+                                 and self.step % cfg.eval_every == 0)):
+                    if cfg.phase == "dense":
+                        self.save_teacher()
+                    else:
+                        self.save_student()
                 if cfg.eval_every and self.step % cfg.eval_every == 0:
                     which = "dense" if cfg.phase == "dense" else "student"
                     acc = self.evaluate(which, max_batches=8)
@@ -362,6 +381,8 @@ class LraTrainer:
                 if self.step >= cfg.num_steps:
                     if cfg.phase == "dense":
                         self.save_teacher()
+                    else:
+                        self.save_student()
                     return
 
 
@@ -383,6 +404,7 @@ def main():
     p.add_argument("--eval-every", type=int, default=0)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--lr-decay", default="none", choices=["none", "rsqrt"])
+    p.add_argument("--save-every", type=int, default=0)
     args = p.parse_args()
     cfg = LraTrainerConfig(
         task=args.task, phase=args.phase, num_steps=args.steps,
@@ -390,6 +412,7 @@ def main():
         n_train=args.n_train, max_depth=args.depth, lr=args.lr,
         warmup_steps=args.warmup, eval_every=args.eval_every,
         accum_steps=args.accum, lr_decay=args.lr_decay,
+        save_every=args.save_every,
     )
     tr = LraTrainer(cfg)
     tr.train()
