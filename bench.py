@@ -106,6 +106,11 @@ def main():
             (512, 512, "flat_wr"),
             (1024, 512, "flat_wr"),
             (256, 512, "flat_wr"),
+            # r5: 256-wide k-blocks make ~46% of causal tiles hit the new
+            # span-1/span-2 exact-range fast paths (one broadcast or one
+            # two-way select replaces the first/RMW word chain)
+            (256, 256, "flat_wr"),
+            (512, 256, "flat_wr"),
             (512, 512, "flat"),
             (1024, 512, "flat"),
         ]

@@ -85,6 +85,84 @@ def build(mesh, M, schedule):
     return jax.jit(jax.grad(loss, argnums=(0, 1, 2))), (lv, hv, h)
 
 
+def build_kd(mesh, M, schedule):
+    """The same comparison on REAL OPT/SEA layers (VERDICT r4 #3): the
+    (teacher, student) KD pair through GPipe-under-jax.grad vs the
+    explicit 1F1B — at a geometry where M x boundary activation is the
+    dominant term (both schedules remat within-layer residuals, so the
+    difference IS the stage-input stash policy: O(M) vs O(S))."""
+    import dataclasses
+
+    from sea_tpu.config import SeaConfig
+    from sea_tpu.models.opt import OptConfig, OptForCausalLM, stack_layer_params
+    from sea_tpu.parallel.pp import pp_kd_1f1b_value_and_grad, pp_kd_loss
+    from sea_tpu.training.distill import SeaOptKD
+
+    KD_N, KD_T, KD_D, KD_L = 16, 512, 256, 8
+    sea = SeaConfig(
+        num_heads=4, head_dim=KD_D // 4, predictor_length=64, k=16,
+        performer_nb_factor=1, causal=True,
+        max_position_embeddings=KD_T,
+    ).validate()
+    base = OptConfig(
+        vocab_size=512, hidden_size=KD_D, num_layers=KD_L, num_heads=4,
+        ffn_dim=4 * KD_D, max_position_embeddings=KD_T, sea=sea,
+    )
+    t_cfg = dataclasses.replace(base, attention_method="none")
+    s_cfg = dataclasses.replace(base, attention_method="perlin")
+    kd = SeaOptKD(t_cfg, s_cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 512, (KD_N, KD_T)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    t_vars = jax.jit(lambda: kd.teacher.init(jax.random.key(0), ids, mask))()
+    s_vars = jax.jit(lambda: kd.student.init(jax.random.key(1), ids, mask))()
+    t_scan = {"params": stack_layer_params(t_vars["params"], KD_L)}
+    s_scan = {"params": stack_layer_params(s_vars["params"], KD_L)}
+    for extra in ("performer",):
+        if extra in t_vars:
+            t_scan[extra] = stack_layer_params(t_vars[extra], KD_L)
+        if extra in s_vars:
+            s_scan[extra] = stack_layer_params(s_vars[extra], KD_L)
+    m_t = OptForCausalLM(dataclasses.replace(t_cfg, scan_layers=True))
+    m_s = OptForCausalLM(dataclasses.replace(s_cfg, scan_layers=True))
+
+    if schedule == "1f1b-kd":
+        fn = lambda sv: pp_kd_1f1b_value_and_grad(
+            m_t, m_s, t_scan, sv, ids, mask, ids,
+            mesh=mesh, num_microbatches=M, use_remat=True,
+        )[0]
+        return jax.jit(fn), (s_scan,)
+    fn = jax.grad(
+        lambda sv: pp_kd_loss(
+            m_t, m_s, t_scan, sv, ids, mask, ids,
+            mesh=mesh, num_microbatches=M, use_remat=True,
+        )[0]
+    )
+    return jax.jit(fn), (s_scan,)
+
+
+def main_kd():
+    mesh = make_pp_mesh(dp=1, pp=S, devices=jax.devices()[:S])
+    KD_N, KD_T, KD_D = 16, 512, 256
+    for M in (4, 8, 16):
+        act_mb = KD_N // M * KD_T * KD_D * 4 * 2  # (t, s) boundary pair
+        for sched in ("gpipe-kd", "1f1b-kd"):
+            fn, args = build_kd(mesh, M, sched)
+            stats = fn.lower(*args).compile().memory_analysis()
+            print(
+                json.dumps(
+                    {
+                        "schedule": sched,
+                        "layers": "OPT/SEA KD pair (D=256, T=512, L=8)",
+                        "M": M,
+                        "temp_MiB": round(stats.temp_size_in_bytes / 2**20, 1),
+                        "microbatch_act_MiB": round(act_mb / 2**20, 2),
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main():
     mesh = make_pp_mesh(dp=1, pp=S, devices=jax.devices()[:S])
     act_mb = {M: N // M * T * D * 4 for M in (4, 8)}
@@ -118,4 +196,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--kd" in sys.argv:
+        main_kd()
+    else:
+        main()

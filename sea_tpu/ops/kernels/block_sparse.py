@@ -410,21 +410,52 @@ def _causal_kernel_flat_wr(
         bk = idx_ref[h, i, j]
         wr = submask_ref[h, i, j]
         wlo = wr & 0xFF
-        whi = wr >> 8
+        whi = (wr >> 8) & 0xFF
+        exact = (wr >> 16) != 0
+        span1 = jnp.logical_and(exact, wlo == whi)
+        span2 = jnp.logical_and(exact, whi == wlo + 1)
+        slow = jnp.logical_not(jnp.logical_or(span1, span2))
         a = ab_scr[:, 0:1]
         b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
         u = base_scr[:] + b2
         pix = u.astype(jnp.int32)
         word_idx = pix >> 5
         mtile = jax.lax.bitcast_convert_type(mbits_ref[0], jnp.int32)
+        # Fast paths (VERDICT r4 #2a), valid only when the range is EXACT
+        # (bit 16 — no out-of-range pixel can alias into [wlo, whi]):
+        #   span-1: every pixel lives in word wlo → raw broadcast, no
+        #     compare, no select.
+        #   span-2 (the dominant case: a 512-wide tile spans 32-34 px):
+        #     one two-way select replaces first(select)+RMW(select+read).
+        # Everything else falls back to the first/RMW chain.
         for wi in range(n_words):
 
-            @pl.when(wi == wlo)
+            @pl.when(jnp.logical_and(wi == wlo, span1))
+            def _one(wi=wi):
+                word_scr[:] = jnp.broadcast_to(
+                    mtile[:, wi][:, None], (BQ, BK)
+                )
+
+            if wi + 1 < n_words:
+
+                @pl.when(jnp.logical_and(wi == wlo, span2))
+                def _pair(wi=wi):
+                    word_scr[:] = jnp.where(
+                        word_idx == wi,
+                        mtile[:, wi][:, None],
+                        mtile[:, wi + 1][:, None],
+                    )
+
+            @pl.when(jnp.logical_and(wi == wlo, slow))
             def _first(wi=wi):
                 wcol = mtile[:, wi][:, None]
                 word_scr[:] = jnp.where(word_idx == wi, wcol, 0)
 
-            @pl.when(jnp.logical_and(wlo < wi, wi <= whi))
+            @pl.when(
+                jnp.logical_and(
+                    slow, jnp.logical_and(wlo < wi, wi <= whi)
+                )
+            )
             def _select(wi=wi):
                 wcol = mtile[:, wi][:, None]
                 word_scr[:] = jnp.where(word_idx == wi, wcol, word_scr[:])
@@ -508,7 +539,17 @@ def _tile_word_ranges(
     hi = pix(c1, w_min.reshape(1, 1, NQ, 1))
     wlo = jnp.clip((lo - 1) >> 5, 0, n_words - 1)
     whi = jnp.clip((hi + 1) >> 5, 0, n_words - 1)
-    return (wlo | (whi << 8)).astype(jnp.int32)
+    # bit 16: the range is EXACT — no clipping happened, so every padded
+    # pixel of the tile provably lands in [wlo, whi] (clipping can fold an
+    # out-of-range word, e.g. pixels past T_M at the causal edge, onto
+    # n_words-1 and make a narrow range lie). Only then may the kernel use
+    # the flat_wr fast paths: span-1 → raw row broadcast, span-2 → one
+    # two-way select (the dominant case at 512-wide tiles, whose pixel
+    # span is BK·T_M/w ≈ 32-34 px ≥ 2 words even at full depth).
+    exact = (((lo - 1) >> 5) == wlo) & (((hi + 1) >> 5) == whi)
+    return (wlo | (whi << 8) | (exact.astype(jnp.int32) << 16)).astype(
+        jnp.int32
+    )
 
 
 def _causal_kernel_flat_fori(
@@ -572,7 +613,7 @@ def _causal_kernel_flat_fori(
         bk = idx_ref[h, i, j]
         wr = submask_ref[h, i, j]
         wlo = wr & 0xFF
-        whi = wr >> 8
+        whi = (wr >> 8) & 0xFF
         a = ab_scr[:, 0:1]
         b2 = (bk * BK).astype(jnp.float32) * a + (a * 0.5 - 1e-4)  # (BQ,1)
         colio = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1).astype(jnp.float32)

@@ -266,3 +266,52 @@ def test_fused_vjp_forward_matches_kernel():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+
+
+def test_tile_word_ranges_exact_bit_safety():
+    """Bit 16 of the packed range ('the range is exact — no clipping')
+    gates the flat_wr span-1/span-2 fast paths. It must be UNSET whenever
+    clipping folded an out-of-range word (causal-edge tiles whose pixels
+    cross T_M) onto the range, and whenever it is set together with a
+    1- or 2-word span, EVERY pixel of the tile must land inside
+    [wlo, whi] — the broadcast/pair-select must never widen semantics."""
+    from sea_tpu.ops.kernels.block_sparse import _tile_word_ranges
+
+    T, T_M, BQ, BK = 4096, 256, 512, 512
+    n_words = T_M // 32
+    NQ = T // BQ
+    NKB = T // BK
+    # full activity list: every (q-block, k-block) tile
+    idx = jnp.broadcast_to(
+        jnp.arange(NKB, dtype=jnp.int32), (1, 1, NQ, NKB)
+    )
+    counts = jnp.full((1, 1, NQ), NKB, jnp.int32)
+    wr = np.asarray(_tile_word_ranges(counts, idx, T_M, n_words, BQ, BK))
+    wlo, whi, exact = wr & 0xFF, (wr >> 8) & 0xFF, (wr >> 16) & 1
+
+    n_fast = 0
+    # oracle: the kernel's exact per-pixel expression over the whole tile
+    rows = np.arange(T, dtype=np.float32) + 1.0
+    for qi in range(NQ):
+        w = rows[qi * BQ : (qi + 1) * BQ][:, None]
+        a = (1.0 / w) * T_M
+        for kj in range(NKB):
+            cols = np.arange(kj * BK, (kj + 1) * BK, dtype=np.float32)[None]
+            pix = (cols * a + (a * 0.5 - 1e-4)).astype(np.int32)
+            words = np.unique(pix >> 5)
+            lo_, hi_, e_ = (
+                wlo[0, 0, qi, kj], whi[0, 0, qi, kj], exact[0, 0, qi, kj]
+            )
+            # range must cover every in-bounds word
+            inb = words[(words >= 0) & (words < n_words)]
+            if inb.size:
+                assert inb.min() >= lo_ and inb.max() <= hi_, (qi, kj)
+            if e_ and hi_ - lo_ <= 1:
+                # fast path fires: every pixel (incl. would-be
+                # out-of-range ones) must land inside [wlo, whi]
+                assert words.min() >= lo_ and words.max() <= hi_, (
+                    qi, kj, words, lo_, hi_,
+                )
+                n_fast += 1
+    # the span-2 fast path must actually fire (deep tiles span 32-34 px)
+    assert n_fast > 0
