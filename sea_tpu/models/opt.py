@@ -1012,3 +1012,112 @@ def cross_entropy_shifted(
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+# ---------------------------------------------------------------------------
+# Scan-body decode (VERDICT r4 #5): the loop-path decode unrolls num_layers
+# copies of the layer graph — at 2.7b (32 layers) that graph is what the
+# remote-compile tunnel cannot compile (RESULTS.md round-4). These drive the
+# SAME OptDecoderLayer methods through ONE lax.scan over the scan-layout
+# stacked params (the fix that saved entry() in round 1 and the 1.3b/65k
+# training paths), at the param level like parallel/pp.py — no Flax
+# transform surgery, so the variables are exactly the scan-layout trees.
+# ---------------------------------------------------------------------------
+
+def _scan_layer_vars(variables):
+    """{collection: stacked layer tree} + the non-layer remainder (the
+    same split as parallel.pp.split_scan_vars, local to avoid a models ->
+    parallel import cycle)."""
+    layer_vars = {}
+    for col, tree in variables.items():
+        sub = tree.get("model", {}) if isinstance(tree, dict) else {}
+        if "layers_scan" in sub:
+            layer_vars[col] = sub["layers_scan"]["layer"]
+    return layer_vars, variables
+
+
+def scan_decode_step(model, variables, token_ids, position, states):
+    """One autoregressive step with the layer stack as ONE scan body.
+
+    model: OptForCausalLM with cfg.scan_layers=True (scan-layout
+    variables); states: the per-layer decode-state pytree STACKED on a
+    leading layer axis (as produced by `scan_prefill_parallel`, or by
+    tree-stacking `init_decode_states`). Returns (logits (N, 1, V),
+    new stacked states)."""
+    layer_vars, rest = _scan_layer_vars(variables)
+    assert layer_vars, "variables are not in scan layout (no layers_scan)"
+    layer_mod = OptDecoderLayer(model.cfg)
+
+    h = model.apply(
+        rest, token_ids, position,
+        method=lambda m, t, p: m.model.embed_tokens(t)
+        + m.model.embed_positions(OptForCausalLM._decode_pos(p) + 2),
+    )
+
+    def body(carry, xs):
+        lv, st = xs
+        h2, st2 = layer_mod.apply(
+            lv, carry, st, method=lambda mod, hh, ss: mod.decode(hh, ss)
+        )
+        return h2, st2
+
+    h, new_states = jax.lax.scan(body, h, (layer_vars, states))
+    h = model.apply(rest, h, method=lambda m, x: m.model.finalize(x))
+    return model.apply(rest, h, method=lambda m, x: m.logits(x)), new_states
+
+
+def scan_prefill_parallel(model, variables, prompt_ids, max_len: int,
+                          last_only: bool = True):
+    """`prefill_parallel` with the layer stack as ONE scan body: ingest
+    the whole prompt in one batched pass per layer, building the decode
+    caches as the scan's per-layer outputs (stacked on axis 0). Returns
+    (logits, stacked states)."""
+    layer_vars, rest = _scan_layer_vars(variables)
+    assert layer_vars, "variables are not in scan layout (no layers_scan)"
+    layer_mod = OptDecoderLayer(model.cfg)
+    N, P = prompt_ids.shape
+    mask1d = jnp.ones((N, P), jnp.int32)
+    h, causal_mask = model.apply(
+        rest, prompt_ids, mask1d,
+        method=lambda m, i, a: m.model.embed(i, a),
+    )
+
+    def body(carry, lv):
+        h2, st = layer_mod.apply(
+            lv, carry, causal_mask, max_len,
+            method=lambda mod, hh, cm, ml: mod.prefill(hh, cm, ml),
+        )
+        return h2, st
+
+    h, states = jax.lax.scan(body, h, layer_vars)
+    h = model.apply(rest, h, method=lambda m, x: m.model.finalize(x))
+    if last_only:
+        h = h[:, -1:]
+    logits = model.apply(rest, h, method=lambda m, x: m.logits(x))
+    return logits, states
+
+
+def scan_generate_greedy(model, variables, prompt_ids, max_len: int,
+                         num_steps: int):
+    """Greedy generation with scanned prefill + scanned decode steps —
+    the whole loop on device (one compile of ONE layer body; the 32-layer
+    2.7b decode graph compiles where the unrolled loop path cannot).
+    Returns (N, num_steps) generated token ids."""
+    N, P = prompt_ids.shape
+    logits, states = scan_prefill_parallel(
+        model, variables, prompt_ids, max_len, last_only=True
+    )
+    last = logits[:, -1]
+
+    def gen_body(carry, i):
+        states, last = carry
+        nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)[:, None]
+        logits, states = scan_decode_step(
+            model, variables, nxt, P + i, states
+        )
+        return (states, logits[:, 0]), nxt[:, 0]
+
+    (_, _), toks = jax.lax.scan(
+        gen_body, (states, last), jnp.arange(num_steps, dtype=jnp.int32)
+    )
+    return toks.T

@@ -261,3 +261,79 @@ def test_beam_parallel_prefill_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(s_seq), np.asarray(s_par), atol=1e-4
     )
+
+
+def test_scan_decode_matches_loop_decode():
+    """Scan-body decode (VERDICT r4 #5: the 2.7b decode fix) must be
+    token- and logit-identical to the loop-path decode: same layer
+    methods, the stack driven by ONE lax.scan over the scan-layout
+    stacked params instead of num_layers unrolled graph copies."""
+    import dataclasses
+
+    from sea_tpu.models.opt import (
+        scan_decode_step,
+        scan_generate_greedy,
+        scan_prefill_parallel,
+        stack_layer_params,
+    )
+
+    cfg = dataclasses.replace(tiny_opt("perlin"), num_layers=3)
+    model = OptForCausalLM(cfg)
+    N, P, STEPS, MAXLEN = 2, 6, 5, 32
+    ids, mask = make_batch(N=N, T=P, vocab=cfg.vocab_size, seed=9)
+    v_loop = jax.jit(lambda: model.init(jax.random.key(0), ids, mask))()
+
+    scan_cfg = dataclasses.replace(cfg, scan_layers=True)
+    scan_model = OptForCausalLM(scan_cfg)
+    v_scan = {"params": stack_layer_params(v_loop["params"], cfg.num_layers)}
+    if "performer" in v_loop:
+        v_scan["performer"] = stack_layer_params(
+            v_loop["performer"], cfg.num_layers
+        )
+
+    # loop reference: parallel prefill + greedy scan
+    toks_loop = np.asarray(
+        jax.jit(
+            lambda v: model.apply(
+                v, ids, MAXLEN, STEPS,
+                method=lambda m, p, L, s: m.generate_greedy(
+                    p, L, s, parallel_prefill=True
+                ),
+            )
+        )(v_loop)
+    )
+    toks_scan = np.asarray(
+        jax.jit(
+            lambda v: scan_generate_greedy(scan_model, v, ids, MAXLEN, STEPS)
+        )(v_scan)
+    )
+    np.testing.assert_array_equal(toks_scan, toks_loop)
+
+    # logits parity at the prefill boundary and after one decode step
+    logits_loop, states_loop = jax.jit(
+        lambda v: model.apply(
+            v, ids, MAXLEN, True,
+            method=lambda m, p, L, lo: m.prefill_parallel(p, L, last_only=lo),
+        )
+    )(v_loop)
+    logits_scan, states_scan = jax.jit(
+        lambda v: scan_prefill_parallel(scan_model, v, ids, MAXLEN)
+    )(v_scan)
+    np.testing.assert_allclose(
+        np.asarray(logits_scan[:, -1]), np.asarray(logits_loop[:, -1]),
+        atol=2e-5,
+    )
+    nxt = jnp.argmax(logits_loop[:, -1], -1).astype(jnp.int32)[:, None]
+    l2_loop, _ = jax.jit(
+        lambda v, sts: model.apply(
+            v, nxt, P, sts, method=lambda m, a, b, c: m.decode_step(a, b, c)
+        )
+    )(v_loop, states_loop)
+    import jax.tree_util as jtu
+
+    l2_scan, _ = jax.jit(
+        lambda v, sts: scan_decode_step(scan_model, v, nxt, P, sts)
+    )(v_scan, states_scan)
+    np.testing.assert_allclose(
+        np.asarray(l2_scan), np.asarray(l2_loop), atol=2e-5
+    )
