@@ -63,10 +63,14 @@ def build(mesh, M, schedule):
         la = jax.checkpoint(layer_apply, prevent_cse=False)
 
     if schedule.startswith("1f1b"):
+        # keep loss AND grads as outputs — lowering only the loss lets
+        # XLA dead-code-eliminate much of the explicit backward, which
+        # would make the comparison vs jax.grad (whose outputs ARE the
+        # grads) apples-to-oranges
         fn = lambda lv_, hv_, h_: pipeline_1f1b_value_and_grad(
             la, head_loss, lv_, hv_, h_, {}, head_args,
             mesh=mesh, num_microbatches=M,
-        )[0]
+        )[::2]  # (loss, (d_lv, d_hv, d_h))
         return jax.jit(fn), (lv, hv, h)
 
     if schedule.startswith("interleaved"):
@@ -85,20 +89,22 @@ def build(mesh, M, schedule):
     return jax.jit(jax.grad(loss, argnums=(0, 1, 2))), (lv, hv, h)
 
 
+KD_N, KD_T, KD_D, KD_L = 16, 512, 256, 8
+
+
 def build_kd(mesh, M, schedule):
     """The same comparison on REAL OPT/SEA layers (VERDICT r4 #3): the
     (teacher, student) KD pair through GPipe-under-jax.grad vs the
     explicit 1F1B — at a geometry where M x boundary activation is the
     dominant term (both schedules remat within-layer residuals, so the
-    difference IS the stage-input stash policy: O(M) vs O(S))."""
+    difference IS the stage-input stash policy: O(M) vs O(S)). Both
+    branches keep the gradients as OUTPUTS (see build's 1f1b note)."""
     import dataclasses
 
     from sea_tpu.config import SeaConfig
     from sea_tpu.models.opt import OptConfig, OptForCausalLM, stack_layer_params
     from sea_tpu.parallel.pp import pp_kd_1f1b_value_and_grad, pp_kd_loss
     from sea_tpu.training.distill import SeaOptKD
-
-    KD_N, KD_T, KD_D, KD_L = 16, 512, 256, 8
     sea = SeaConfig(
         num_heads=4, head_dim=KD_D // 4, predictor_length=64, k=16,
         performer_nb_factor=1, causal=True,
@@ -130,9 +136,9 @@ def build_kd(mesh, M, schedule):
         fn = lambda sv: pp_kd_1f1b_value_and_grad(
             m_t, m_s, t_scan, sv, ids, mask, ids,
             mesh=mesh, num_microbatches=M, use_remat=True,
-        )[0]
+        )[::2]  # (loss, d_student) — grads stay live outputs
         return jax.jit(fn), (s_scan,)
-    fn = jax.grad(
+    fn = jax.value_and_grad(
         lambda sv: pp_kd_loss(
             m_t, m_s, t_scan, sv, ids, mask, ids,
             mesh=mesh, num_microbatches=M, use_remat=True,
@@ -143,7 +149,6 @@ def build_kd(mesh, M, schedule):
 
 def main_kd():
     mesh = make_pp_mesh(dp=1, pp=S, devices=jax.devices()[:S])
-    KD_N, KD_T, KD_D = 16, 512, 256
     for M in (4, 8, 16):
         act_mb = KD_N // M * KD_T * KD_D * 4 * 2  # (t, s) boundary pair
         for sched in ("gpipe-kd", "1f1b-kd"):

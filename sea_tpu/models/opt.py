@@ -1025,15 +1025,12 @@ def cross_entropy_shifted(
 # ---------------------------------------------------------------------------
 
 def _scan_layer_vars(variables):
-    """{collection: stacked layer tree} + the non-layer remainder (the
-    same split as parallel.pp.split_scan_vars, local to avoid a models ->
-    parallel import cycle)."""
-    layer_vars = {}
-    for col, tree in variables.items():
-        sub = tree.get("model", {}) if isinstance(tree, dict) else {}
-        if "layers_scan" in sub:
-            layer_vars[col] = sub["layers_scan"]["layer"]
-    return layer_vars, variables
+    """{collection: stacked layer tree} + the non-layer remainder —
+    delegates to the one scan-layout splitter (function-level import:
+    parallel.pp imports models lazily, so there is no cycle)."""
+    from ..parallel.pp import split_scan_vars
+
+    return split_scan_vars(variables)
 
 
 def scan_decode_step(model, variables, token_ids, position, states):

@@ -539,14 +539,16 @@ def _tile_word_ranges(
     hi = pix(c1, w_min.reshape(1, 1, NQ, 1))
     wlo = jnp.clip((lo - 1) >> 5, 0, n_words - 1)
     whi = jnp.clip((hi + 1) >> 5, 0, n_words - 1)
-    # bit 16: the range is EXACT — no clipping happened, so every padded
-    # pixel of the tile provably lands in [wlo, whi] (clipping can fold an
-    # out-of-range word, e.g. pixels past T_M at the causal edge, onto
-    # n_words-1 and make a narrow range lie). Only then may the kernel use
-    # the flat_wr fast paths: span-1 → raw row broadcast, span-2 → one
-    # two-way select (the dominant case at 512-wide tiles, whose pixel
-    # span is BK·T_M/w ≈ 32-34 px ≥ 2 words even at full depth).
-    exact = (((lo - 1) >> 5) == wlo) & (((hi + 1) >> 5) == whi)
+    # bit 16: the range is EXACT — every padded pixel of the tile provably
+    # lands in [wlo, whi]. Only HIGH-side clipping can lie (folding
+    # out-of-range words — pixels past T_M at the causal edge — onto
+    # n_words-1); low-side clipping at 0 is always safe because kernel
+    # pixels are >= 0 (u = c·a + a/2 - 1e-4 truncates toward zero). Only
+    # when exact may the kernel use the flat_wr fast paths: span-1 → raw
+    # row broadcast, span-2 → one two-way select (the dominant case at
+    # 512-wide tiles, whose pixel span is BK·T_M/w ≈ 32-34 px ≥ 2 words
+    # even at full depth).
+    exact = ((hi + 1) >> 5) == whi
     return (wlo | (whi << 8) | (exact.astype(jnp.int32) << 16)).astype(
         jnp.int32
     )
