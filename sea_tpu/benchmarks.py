@@ -145,7 +145,10 @@ def attention_method_sweep(
         def repeat(fn):
             def wrapped(q, *args):
                 def body(i, c):
-                    return c + 1e-30 * fn(c, *args)
+                    # cast back: performer/cosformer return f32 from bf16
+                    # inputs (f32 feature islands), which would break the
+                    # fori carry dtype
+                    return c + (1e-30 * fn(c, *args)).astype(c.dtype)
 
                 return jax.lax.fori_loop(0, iters, body, q)
 
