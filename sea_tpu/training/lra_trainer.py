@@ -114,11 +114,6 @@ class LraTrainer:
         ids = jnp.ones((self.batch_size, T), jnp.int32)
         mask = jnp.ones((self.batch_size, T), jnp.int32)
         self.t_vars = self.kd.teacher.init(jax.random.key(0), ids, mask)
-        self._load_teacher_checkpoint()
-        s_vars = self.kd.student.init(jax.random.key(1), ids, mask)
-        s_vars = student_from_teacher(s_vars, self.t_vars["params"])
-        self.s_params = s_vars["params"]
-        self.s_extra = {k: v for k, v in s_vars.items() if k != "params"}
 
         spec_lr = LRA_TASKS[cfg.task]
         lr = cfg.lr if cfg.lr is not None else spec_lr.lr
@@ -137,9 +132,19 @@ class LraTrainer:
         self.tx = make_optimizer(lr=lr, wd=wd, lr_low_scale=1.0)
         self.t_params_mut = self.t_vars["params"]  # trained in 'dense' phase
         self.t_opt_state = self.tx.init(self.t_params_mut)
+        self.step = 0
+        if self._load_teacher_checkpoint() and cfg.phase == "dense":
+            # full-state resume (params+opt_state+step) — the dense phase is
+            # restart-driven across the environment's ~40-min process kills
+            # just like the distill phase below
+            print(f"[{cfg.task}/dense] resumed at step {self.step}", flush=True)
+
+        s_vars = self.kd.student.init(jax.random.key(1), ids, mask)
+        s_vars = student_from_teacher(s_vars, self.t_vars["params"])
+        self.s_params = s_vars["params"]
+        self.s_extra = {k: v for k, v in s_vars.items() if k != "params"}
         self.opt_state = self.tx.init(self.s_params)
         self.rng = jax.random.key(cfg.seed)
-        self.step = 0
         if cfg.phase == "distill":
             # resume after relay stalls (the environment kills ~40-min
             # processes; with the persistent compile cache a restart costs
@@ -286,20 +291,41 @@ class LraTrainer:
             return True
         return False
 
-    def _load_teacher_checkpoint(self):
+    def _load_teacher_checkpoint(self) -> bool:
         path = self._teacher_ckpt_path()
-        if os.path.exists(path):
-            import orbax.checkpoint as ocp
+        if not os.path.exists(path):
+            return False
+        import orbax.checkpoint as ocp
 
-            ckptr = ocp.StandardCheckpointer()
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            restored = ckptr.restore(
+                path,
+                {"params": self.t_params_mut, "opt_state": self.t_opt_state,
+                 "step": jnp.int32(0)},
+            )
+            self.t_vars = {**self.t_vars, "params": restored["params"]}
+            self.t_params_mut = restored["params"]
+            if self.cfg.phase == "dense":
+                self.t_opt_state = restored["opt_state"]
+                self.step = int(restored["step"])
+        except (ValueError, KeyError, TypeError):
+            # legacy format: bare params tree (pre-round-5 teacher ckpts)
             restored = ckptr.restore(path, self.t_vars["params"])
             self.t_vars = {**self.t_vars, "params": restored}
+            self.t_params_mut = restored
+        return True
 
     def save_teacher(self):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(self._teacher_ckpt_path(), self.t_params_mut, force=True)
+        ckptr.save(
+            self._teacher_ckpt_path(),
+            {"params": self.t_params_mut, "opt_state": self.t_opt_state,
+             "step": jnp.int32(self.step)},
+            force=True,
+        )
         ckptr.wait_until_finished()
 
     def evaluate(self, which="student", max_batches=None) -> float:

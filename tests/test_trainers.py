@@ -94,6 +94,41 @@ def test_lra_trainer_smoke(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+def test_lra_dense_resume_restores_full_state(tmp_path):
+    """Teacher (dense) phase full-state checkpoint: a restart restores
+    params, opt_state, AND step bit-exactly (the dense phase is
+    restart-driven on chip like the distill phase), then trains on.
+    Trajectory equality across a restart is NOT expected: the epoch
+    shuffle reseeds from the resume step, so the data stream differs —
+    same contract as the student resume."""
+    from sea_tpu.training.lra_trainer import LraTrainer, LraTrainerConfig
+
+    def cfg(steps):
+        return LraTrainerConfig(
+            task="listops", phase="dense", num_steps=steps, batch_size=4,
+            max_length=64, n_train=32, scale=0.25, save_dir=str(tmp_path),
+            eval_every=0, save_every=0,
+        )
+
+    first = LraTrainer(cfg(2))
+    first.train()  # saves full teacher state at num_steps
+
+    resumed = LraTrainer(cfg(4))
+    assert resumed.step == 2
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(first.t_params_mut),
+        jax.tree_util.tree_leaves(resumed.t_params_mut),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for oa, ob in zip(
+        jax.tree_util.tree_leaves(first.t_opt_state),
+        jax.tree_util.tree_leaves(resumed.t_opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    resumed.train()
+    assert resumed.step == 4
+
+
 def test_opt_trainer_scan_kd(tmp_path):
     from sea_tpu.training.opt_trainer import OptTrainer, TrainerConfig
 
