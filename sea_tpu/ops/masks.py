@@ -39,6 +39,49 @@ def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(x + 0.5)
 
 
+def _causal_block_rows(t1: int) -> int:
+    """Row-block size for the causal one-hot-matmul resize: bounds the
+    per-block selector at BR·(T_M+1)·T2 while keeping enough rows per
+    batched matmul for the MXU."""
+    return min(256, t1)
+
+
+def _causal_static_resize_matmul(grid_input: jnp.ndarray, t2: int, t_m: int):
+    """No-padding causal resize as a blocked one-hot matmul (bit-exact).
+
+    grid_input: (N, H, T1, T_M+1) — x padded with the fill column.
+    Computes out[n,h,r,c] = grid_input[n,h,r, IDX[r,c]] where IDX is the
+    STATIC no-padding causal index map of reference resize_m_to_t.py:36-71
+    (reproduced with the exact same f32 arithmetic/rounding: cumsum of an
+    unpadded causal row is exactly min(c+1, r+1) in f32, so the indices
+    are bit-identical to the dynamic path's). Each output element is one
+    input times 1.0 plus zeros — no accumulation rounding.
+    """
+    N, H, T1, _ = grid_input.shape
+    br = _causal_block_rows(T1)
+    nb = T1 // br
+    grid_blocks = grid_input.reshape(N, H, nb, br, t_m + 1)
+    c = jnp.arange(t2, dtype=jnp.float32)[None, :]
+    p = jnp.arange(t_m + 1, dtype=jnp.int32)[None, :, None]
+
+    def one_block(b):
+        r = (b * br + jnp.arange(br, dtype=jnp.int32)).astype(jnp.float32)[:, None]
+        mask_cs = jnp.minimum(c + 1.0, r + 1.0)
+        idx = (
+            jnp.floor((mask_cs - 1.0 + 0.5) / (r + 1.0) * t_m - 1e-4).astype(jnp.int32)
+            + jnp.where(c > r, t_m, 0)
+        )
+        idx = jnp.clip(idx, 0, t_m)  # (br, T2)
+        sel = (idx[:, None, :] == p).astype(grid_input.dtype)  # (br, T_M+1, T2)
+        return jnp.einsum(
+            "nhrp,rpc->nhrc", grid_blocks[:, :, b], sel,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out = jax.lax.map(one_block, jnp.arange(nb))  # (nb, N, H, br, T2)
+    return jnp.transpose(out, (1, 2, 0, 3, 4)).reshape(N, H, T1, t2)
+
+
 def resize_from_m_to_t(
     x: jnp.ndarray,
     masked_fill_value: float,
@@ -117,6 +160,34 @@ def resize_from_m_to_t(
             "nhrp,npc->nhrc", grid_input, sel,
             precision=jax.lax.Precision.HIGHEST,
         )
+    elif is_causal and T1 == T2 and T1 % _causal_block_rows(T1) == 0:
+        # Causal: the map is row-VARYING, but with NO padding it is the
+        # STATIC triangle map (depends on (r, c) only). A blocked one-hot
+        # matmul (row-batched per block, selector built on the fly from
+        # iota — never round-tripped through HBM whole) measured 60x the
+        # gather forward and 31x its backward scatter on chip at T=2048
+        # (scripts/causal_resize_probe.py, bit-exact both directions).
+        # Padded batches and jittered steps (10% of training steps) take
+        # the original gather via a runtime lax.cond, so semantics are
+        # unchanged for every input.
+        no_pad = jnp.all(
+            (attention_mask > -1)
+            == (
+                jnp.arange(T2, dtype=jnp.int32)[None, :]
+                <= jnp.arange(T1, dtype=jnp.int32)[:, None]
+            )[None, None]
+        )
+        if rng is not None:
+            no_pad = jnp.logical_and(no_pad, jnp.logical_not(apply))
+
+        def _matmul_branch(gi):
+            return _causal_static_resize_matmul(gi, T1, T_M)
+
+        def _gather_branch(gi):
+            tix = jnp.broadcast_to(token_index_x, (N, H, T1, T2))
+            return jnp.take_along_axis(gi, tix, axis=-1)
+
+        output = jax.lax.cond(no_pad, _matmul_branch, _gather_branch, grid_input)
     else:
         token_index_x = jnp.broadcast_to(token_index_x, (N, H, T1, T2))
         output = jnp.take_along_axis(grid_input, token_index_x, axis=-1)

@@ -2,6 +2,7 @@
 independent numpy loop oracles (SURVEY §7 stage-1 gate)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -98,6 +99,93 @@ class TestResize:
             assert np.all(got[0, 0, i, i + 1 :] == -1.0), f"row {i} leaks future"
             # first i+1 entries come from the compressed row, stretched
             assert np.all(got[0, 0, i, : i + 1] >= x[0, 0, i, 0])
+
+    def test_causal_padded_takes_gather_branch(self):
+        """Causal + per-item padding: the static-map lax.cond must detect
+        the padded mask at runtime and fall back to the gather; output
+        still matches the oracle exactly."""
+        rng = np.random.default_rng(7)
+        N, H, T, T_M = 3, 2, 32, 8
+        x = rng.standard_normal((N, H, T, T_M)).astype(np.float32)
+        mask = make_causal_mask(N, T)
+        # pad: item i attends only to the first L_i columns
+        for i, L in enumerate([32, 20, 9]):
+            mask[i, :, :, L:] = FP_MIN32
+        got = resize_from_m_to_t(
+            jnp.asarray(x), -2.0, jnp.asarray(mask), target_width=T, is_causal=True
+        )
+        want = np_resize_oracle(x, -2.0, mask, True, T)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+    def test_causal_jitter_unchanged_by_fast_path(self):
+        """With rng, the 10%-probability jitter branch must behave exactly
+        as the pre-fast-path implementation: compare against an inline
+        replica of the original (always-gather) path across keys that DO
+        and do NOT fire the jitter gate."""
+        rng = np.random.default_rng(3)
+        N, H, T, T_M = 2, 2, 64, 8
+        x = jnp.asarray(rng.standard_normal((N, H, T, T_M)), jnp.float32)
+        mask = jnp.asarray(make_causal_mask(N, T))
+
+        def legacy(x, key):  # the original gather-only causal path
+            m = (mask > -1).astype(jnp.float32)
+            mask_cs = jnp.cumsum(m, axis=-1)
+            token_length = mask_cs[..., -1:]
+            jitter_rng, gate_rng = jax.random.split(key)
+            noise = jax.random.uniform(jitter_rng, mask_cs.shape) * 1.5 - 0.75
+            hi = jnp.argmax(mask_cs, axis=-1, keepdims=True).astype(mask_cs.dtype)
+            jittered = jnp.clip(mask_cs + noise, 1.0, hi)
+            apply = jax.random.uniform(gate_rng, ()) < 0.1
+            mask_cs = jnp.where(apply, jittered, mask_cs)
+            tix = (
+                jnp.floor((mask_cs - 1 + 0.5) / token_length * T_M - 1e-4).astype(jnp.int32)
+                + ((1 - m) * T_M).astype(jnp.int32)
+            )
+            tix = jnp.clip(tix, 0, T_M)
+            grid = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=0.0)
+            tix = jnp.broadcast_to(tix, (N, H, T, T))
+            return jnp.take_along_axis(grid, tix, axis=-1), apply
+
+        fired = set()
+        for seed in range(24):
+            key = jax.random.key(seed)
+            got = resize_from_m_to_t(
+                x, 0.0, mask, target_width=T, is_causal=True, rng=key
+            )
+            want, applied = legacy(x, key)
+            fired.add(bool(applied))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert fired == {True, False}, "keys must cover both gate outcomes"
+
+    def test_causal_fast_path_gradients(self):
+        """d(resize)/dx through the matmul branch equals the gather
+        branch's gradient. Not bit-exact: each input pixel feeds MANY
+        output columns, and the matmul transpose (ct @ sel^T) sums those
+        cotangents in a different order than the gather's scatter-add —
+        same terms, fp addition order differs."""
+        rng = np.random.default_rng(5)
+        N, H, T, T_M = 1, 2, 48, 8
+        x = jnp.asarray(rng.standard_normal((N, H, T, T_M)), jnp.float32)
+        mask_np = make_causal_mask(N, T)
+        mask = jnp.asarray(mask_np)
+        ct = jnp.asarray(rng.standard_normal((N, H, T, T)), jnp.float32)
+
+        def fwd(x, m):
+            return jnp.vdot(
+                resize_from_m_to_t(x, 0.0, m, target_width=T, is_causal=True), ct
+            )
+
+        g_fast = jax.grad(fwd)(x, mask)
+        # force the gather branch via one padded column on item 0
+        mask_pad = mask_np.copy()
+        mask_pad[0, :, :, -1] = FP_MIN32
+        g_slow_full = jax.grad(fwd)(x, jnp.asarray(mask_pad))
+        # rows untouched by the padding must agree (same terms, fp order)
+        np.testing.assert_allclose(
+            np.asarray(g_fast[0, :, : T - 1]),
+            np.asarray(g_slow_full[0, :, : T - 1]),
+            rtol=1e-5, atol=1e-6,
+        )
 
     def test_oversample_undersampling(self):
         rng = np.random.default_rng(2)
