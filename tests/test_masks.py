@@ -187,6 +187,21 @@ class TestResize:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_causal_fast_path_bf16(self):
+        """bf16 inputs through the matmul branch: still exact vs the
+        gather (one nonzero per selector column — no accumulation)."""
+        rng = np.random.default_rng(9)
+        N, H, T, T_M = 2, 2, 32, 8
+        x = jnp.asarray(rng.standard_normal((N, H, T, T_M)), jnp.bfloat16)
+        mask = jnp.asarray(make_causal_mask(N, T))
+        got = resize_from_m_to_t(x, 0.0, mask, target_width=T, is_causal=True)
+        # oracle: direct numpy gather on the bf16 values
+        want = np_resize_oracle(
+            np.asarray(x, np.float32), 0.0, np.asarray(mask), True, T
+        )
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(got, np.float32), want)
+
     def test_oversample_undersampling(self):
         rng = np.random.default_rng(2)
         N, H, T, T_M = 2, 2, 64, 16
